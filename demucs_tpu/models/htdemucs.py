@@ -1,0 +1,532 @@
+"""HTDemucs (v4): hybrid dual-branch U-Net + cross-domain transformer.
+
+Behavioral reference: ``demucs/htdemucs.py:27-759``. Pure-functional:
+``HTDemucsConfig`` (frozen, hashable — safe as a jit static arg) + a parameter
+pytree whose structure mirrors the reference state-dict paths (see
+``demucs_tpu.zoo.torch_load``).
+
+The forward is a single traced program: STFT -> CaC -> dual encoder stacks ->
+cross-transformer -> dual decoder stacks -> iSTFT + time branch. All shapes are
+static; ``use_train_segment`` pins the processing length to the training
+segment at trace time (htdemucs.py:511-537).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demucs_tpu.ops import nn as onn
+from demucs_tpu.ops.spec import cac_pack, cac_unpack, demucs_ispec, demucs_spec
+from demucs_tpu.models import hlayers as hl
+from demucs_tpu.models.transformer import TransformerSpec, crosstransformer_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class HTDemucsConfig:
+    sources: tp.Tuple[str, ...] = ("drums", "bass", "other", "vocals")
+    audio_channels: int = 2
+    channels: int = 48
+    channels_time: tp.Optional[int] = None
+    growth: int = 2
+    # STFT
+    nfft: int = 4096
+    wiener_iters: int = 0
+    end_iters: int = 0
+    wiener_residual: bool = False
+    cac: bool = True
+    # Main structure
+    depth: int = 4
+    rewrite: bool = True
+    # Frequency branch
+    multi_freqs: tp.Tuple[float, ...] = ()
+    multi_freqs_depth: int = 3
+    freq_emb: float = 0.2
+    emb_scale: float = 10.0
+    emb_smooth: bool = True
+    # Convolutions
+    kernel_size: int = 8
+    time_stride: int = 2
+    stride: int = 4
+    context: int = 1
+    context_enc: int = 0
+    # Normalization
+    norm_starts: int = 4
+    norm_groups: int = 4
+    # DConv residual branch
+    dconv_mode: int = 1
+    dconv_depth: int = 2
+    dconv_comp: float = 8.0
+    dconv_init: float = 1e-3
+    # Before the transformer
+    bottom_channels: int = 0
+    # Transformer
+    t_layers: int = 5
+    t_emb: str = "sin"
+    t_hidden_scale: float = 4.0
+    t_heads: int = 8
+    t_dropout: float = 0.0
+    t_max_positions: int = 10000
+    t_norm_in: bool = True
+    t_norm_in_group: bool = False
+    t_group_norm: bool = False
+    t_norm_first: bool = True
+    t_norm_out: bool = True
+    t_max_period: float = 10000.0
+    t_weight_decay: float = 0.0
+    t_lr: tp.Optional[float] = None
+    t_layer_scale: bool = True
+    t_gelu: bool = True
+    t_weight_pos_embed: float = 1.0
+    t_sin_random_shift: int = 0
+    t_cape_mean_normalize: bool = True
+    t_cape_augment: bool = True
+    t_cape_glob_loc_scale: tp.Tuple[float, float, float] = (5000.0, 1.0, 1.4)
+    t_sparse_self_attn: bool = False
+    t_sparse_cross_attn: bool = False
+    t_cross_first: bool = False
+    # Weight init
+    rescale: float = 0.1
+    # Metadata
+    samplerate: int = 44100
+    segment: float = 10.0
+    use_train_segment: bool = True
+
+    @property
+    def hop_length(self) -> int:
+        return self.nfft // 4
+
+    @property
+    def training_length(self) -> int:
+        return int(self.segment * self.samplerate)
+
+
+@functools.lru_cache(maxsize=None)
+def layout(cfg: HTDemucsConfig) -> hl.HybridLayout:
+    return hl.build_hybrid_layout(
+        sources=cfg.sources,
+        audio_channels=cfg.audio_channels,
+        channels=cfg.channels,
+        channels_time=cfg.channels_time,
+        growth=cfg.growth,
+        nfft=cfg.nfft,
+        cac=cfg.cac,
+        depth=cfg.depth,
+        rewrite=cfg.rewrite,
+        kernel_size=cfg.kernel_size,
+        time_stride=cfg.time_stride,
+        stride=cfg.stride,
+        context=cfg.context,
+        context_enc=cfg.context_enc,
+        norm_starts=cfg.norm_starts,
+        norm_groups=cfg.norm_groups,
+        dconv_mode=cfg.dconv_mode,
+        dconv_depth=cfg.dconv_depth,
+        dconv_comp=cfg.dconv_comp,
+        dconv_init=cfg.dconv_init,
+        freq_emb=cfg.freq_emb,
+        multi_freqs=cfg.multi_freqs,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
+    dim = cfg.bottom_channels or cfg.channels * cfg.growth ** (cfg.depth - 1)
+    return TransformerSpec(
+        dim=dim,
+        num_layers=cfg.t_layers,
+        num_heads=cfg.t_heads,
+        hidden_scale=cfg.t_hidden_scale,
+        cross_first=cfg.t_cross_first,
+        emb=cfg.t_emb,
+        norm_in=cfg.t_norm_in,
+        norm_in_group=cfg.t_norm_in_group,
+        group_norm=cfg.t_group_norm,
+        norm_first=cfg.t_norm_first,
+        norm_out=cfg.t_norm_out,
+        max_period=cfg.t_max_period,
+        layer_scale=cfg.t_layer_scale,
+        gelu=cfg.t_gelu,
+        weight_pos_embed=cfg.t_weight_pos_embed,
+        sin_random_shift=cfg.t_sin_random_shift,
+        cape_mean_normalize=cfg.t_cape_mean_normalize,
+        cape_augment=cfg.t_cape_augment,
+        cape_glob_loc_scale=cfg.t_cape_glob_loc_scale,
+        sparse_self_attn=cfg.t_sparse_self_attn,
+        sparse_cross_attn=cfg.t_sparse_cross_attn,
+    )
+
+
+def _core(
+    params: dict,
+    cfg: HTDemucsConfig,
+    mag: jax.Array,
+    mix: jax.Array,
+    *,
+    train: bool,
+    rng: tp.Optional[jax.Array],
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Encoder/transformer/decoder core (htdemucs.py:677-759, ``forward_core``).
+
+    Args:
+        mag: ``(B, C[*2 if cac], F, T)`` spectrogram-as-channels input.
+        mix: ``(B, audio_channels, L)`` waveform.
+    Returns:
+        ``(spec_out (B, S, C_spec, F, T), time_out (B, S, C, L))`` pre-masking.
+    """
+    lay = layout(cfg)
+    x = mag
+    B, C, Fq, T = x.shape
+
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    std = onn.std_unbiased(x, axis=(1, 2, 3))
+    x = (x - mean) / (1e-5 + std)
+
+    xt = mix
+    length = xt.shape[-1]
+    meant = xt.mean(axis=(1, 2), keepdims=True)
+    stdt = onn.std_unbiased(xt, axis=(1, 2))
+    xt = (xt - meant) / (1e-5 + stdt)
+
+    saved, saved_t, lengths, lengths_t = [], [], [], []
+    for idx, spec_l in enumerate(lay.enc):
+        lengths.append(x.shape[-1])
+        inject = None
+        if idx < len(lay.tenc):
+            lengths_t.append(xt.shape[-1])
+            tspec = lay.tenc[idx]
+            xt = hl.henc_forward(params["tencoder"][idx], tspec, xt)
+            if not tspec.empty:
+                saved_t.append(xt)
+            else:
+                inject = xt
+        x = hl.henc_forward(params["encoder"][idx], spec_l, x, inject)
+        if idx == 0 and lay.freq_emb_bins:
+            frs = jnp.arange(x.shape[-2])
+            emb = hl.scaled_embedding_forward(params["freq_emb"], frs, cfg.emb_scale)
+            x = x + cfg.freq_emb * emb.T[None, :, :, None]
+        saved.append(x)
+
+    if cfg.t_layers > 0:
+        if cfg.bottom_channels:
+            b, c, f, t = x.shape
+            x = x.reshape(b, c, f * t)
+            x = onn.conv1d(x, params["channel_upsampler"]["weight"],
+                           params["channel_upsampler"]["bias"])
+            x = x.reshape(b, -1, f, t)
+            xt = onn.conv1d(xt, params["channel_upsampler_t"]["weight"],
+                            params["channel_upsampler_t"]["bias"])
+        x, xt = crosstransformer_forward(
+            params["crosstransformer"], transformer_spec(cfg), x, xt,
+            train=train, rng=rng,
+        )
+        if cfg.bottom_channels:
+            b, c, f, t = x.shape
+            x = x.reshape(b, c, f * t)
+            x = onn.conv1d(x, params["channel_downsampler"]["weight"],
+                           params["channel_downsampler"]["bias"])
+            x = x.reshape(b, -1, f, t)
+            xt = onn.conv1d(xt, params["channel_downsampler_t"]["weight"],
+                            params["channel_downsampler_t"]["bias"])
+
+    for idx, dspec in enumerate(lay.dec):
+        skip = saved.pop(-1)
+        x, pre = hl.hdec_forward(params["decoder"][idx], dspec, x, skip, lengths.pop(-1))
+        offset = cfg.depth - len(lay.tdec)
+        if idx >= offset:
+            tspec = lay.tdec[idx - offset]
+            length_t = lengths_t.pop(-1)
+            if tspec.empty:
+                assert pre.shape[2] == 1, pre.shape
+                pre = pre[:, :, 0]
+                xt, _ = hl.hdec_forward(params["tdecoder"][idx - offset], tspec,
+                                        pre, None, length_t)
+            else:
+                skip_t = saved_t.pop(-1)
+                xt, _ = hl.hdec_forward(params["tdecoder"][idx - offset], tspec,
+                                        xt, skip_t, length_t)
+
+    assert not saved and not saved_t and not lengths_t
+
+    S = len(cfg.sources)
+    x = x.reshape(B, S, -1, Fq, T)
+    x = x * std[:, None] + mean[:, None]
+    xt = xt.reshape(B, S, -1, length)
+    xt = xt * stdt[:, None] + meant[:, None]
+    return x, xt
+
+
+def forward_core(
+    params: dict,
+    mag: jax.Array,
+    mix: jax.Array,
+    cfg: HTDemucsConfig,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Export-boundary core (htdemucs.py:662-759): precomputed mag + mix in,
+    (spec_out, time_out) before masking/iSTFT out."""
+    return _core(params, cfg, mag, mix, train=False, rng=None)
+
+
+def forward(
+    params: dict,
+    mix: jax.Array,
+    cfg: HTDemucsConfig,
+    *,
+    train: bool = False,
+    rng: tp.Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full forward: ``mix (B, C, L)`` -> stems ``(B, S, C, L)``.
+
+    Behavioral reference: htdemucs.py:527-660. In eval mode with
+    ``use_train_segment`` the input is right-zero-padded to the training
+    segment (static at trace time) and the output cropped back.
+    """
+    length = mix.shape[-1]
+    length_pre_pad = None
+    if cfg.use_train_segment and not train:
+        training_length = cfg.training_length
+        if length < training_length:
+            length_pre_pad = length
+            mix = jnp.pad(mix, [(0, 0), (0, 0), (0, training_length - length)])
+        elif length > training_length:
+            raise ValueError(
+                f"Input length {length} exceeds training length {training_length}"
+            )
+    z = demucs_spec(mix, cfg.nfft)
+    mag = cac_pack(z) if cfg.cac else jnp.abs(z)
+
+    x, xt = _core(params, cfg, mag, mix, train=train, rng=rng)
+
+    if cfg.cac:
+        zout = cac_unpack(x)
+    else:
+        raise NotImplementedError("Wiener filtering path (cac=False) not implemented yet")
+    x = demucs_ispec(zout, mix.shape[-1])
+    out = xt + x
+    if length_pre_pad:
+        out = out[..., :length_pre_pad]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Random initialization (torch-equivalent distributions + rescale trick)
+# ---------------------------------------------------------------------------
+
+
+class _Init:
+    """Numpy-based initializer producing torch-default distributions."""
+
+    def __init__(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+
+    def conv(self, shape, rescale: tp.Optional[float] = None) -> dict:
+        # torch Conv default: kaiming_uniform(a=sqrt(5)) => U(+-1/sqrt(fan_in))
+        fan_in = int(np.prod(shape[1:]))
+        bound = 1.0 / math.sqrt(fan_in)
+        w = self.rng.uniform(-bound, bound, size=shape).astype(np.float32)
+        b = self.rng.uniform(-bound, bound, size=shape[0]).astype(np.float32)
+        if rescale:
+            # demucs.py:70-83 rescale trick
+            scale = (w.std() / rescale) ** 0.5
+            w /= scale
+            b /= scale
+        return {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+
+    def conv_tr(self, shape, rescale: tp.Optional[float] = None) -> dict:
+        fan_in = int(np.prod(shape[1:]))  # torch uses weight.size(1)*kernel
+        bound = 1.0 / math.sqrt(fan_in)
+        w = self.rng.uniform(-bound, bound, size=shape).astype(np.float32)
+        b = self.rng.uniform(-bound, bound, size=shape[1]).astype(np.float32)
+        if rescale:
+            scale = (w.std() / rescale) ** 0.5
+            w /= scale
+            b /= scale
+        return {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+
+    def linear(self, out_f, in_f) -> dict:
+        bound = 1.0 / math.sqrt(in_f)
+        return {
+            "weight": jnp.asarray(
+                self.rng.uniform(-bound, bound, size=(out_f, in_f)).astype(np.float32)),
+            "bias": jnp.asarray(
+                self.rng.uniform(-bound, bound, size=out_f).astype(np.float32)),
+        }
+
+    def norm(self, dim) -> dict:
+        return {"weight": jnp.ones(dim, jnp.float32), "bias": jnp.zeros(dim, jnp.float32)}
+
+    def scale(self, dim, init) -> dict:
+        return {"scale": jnp.full((dim,), init, jnp.float32)}
+
+    def embedding(self, num, dim, smooth=False, scale=1.0) -> dict:
+        w = self.rng.standard_normal((num, dim)).astype(np.float32)
+        if smooth:
+            w = np.cumsum(w, axis=0) / np.sqrt(np.arange(1, num + 1, dtype=np.float32))[:, None]
+        return {"embedding": {"weight": jnp.asarray(w / scale)}}
+
+
+def _init_dconv(ini: _Init, s: hl.DConvSpec, rescale: float) -> dict:
+    hidden = int(s.channels / s.compress)
+    layers = {}
+    for d in range(abs(s.depth)):
+        layer = {
+            0: ini.conv((hidden, s.channels, s.kernel), rescale),
+            1: ini.norm(hidden),
+        }
+        pos = 3
+        if s.lstm:
+            lstm_p = {}
+            for ly in range(2):
+                in_dim = hidden if ly == 0 else 2 * hidden
+                bound = 1.0 / math.sqrt(hidden)
+                for direction in ("", "_reverse"):
+                    for name, shape in (
+                        (f"weight_ih_l{ly}{direction}", (4 * hidden, in_dim)),
+                        (f"weight_hh_l{ly}{direction}", (4 * hidden, hidden)),
+                        (f"bias_ih_l{ly}{direction}", (4 * hidden,)),
+                        (f"bias_hh_l{ly}{direction}", (4 * hidden,)),
+                    ):
+                        lstm_p[name] = jnp.asarray(
+                            ini.rng.uniform(-bound, bound, size=shape).astype(np.float32))
+            layer[pos] = {"lstm": lstm_p, "linear": ini.linear(hidden, 2 * hidden)}
+            pos += 1
+        if s.attn:
+            qd = ini.conv((s.heads * s.ndecay, hidden, 1), rescale)
+            qd = {"weight": qd["weight"] * 0.01, "bias": jnp.full_like(qd["bias"], -2.0)}
+            layer[pos] = {
+                "content": ini.conv((hidden, hidden, 1), rescale),
+                "query": ini.conv((hidden, hidden, 1), rescale),
+                "key": ini.conv((hidden, hidden, 1), rescale),
+                "query_decay": qd,
+                "proj": ini.conv((hidden, hidden, 1), rescale),
+            }
+            pos += 1
+        layer[pos] = ini.conv((2 * s.channels, hidden, 1), rescale)
+        layer[pos + 1] = ini.norm(2 * s.channels)
+        layer[pos + 3] = ini.scale(s.channels, s.init)
+        layers[d] = layer
+    return {"layers": layers}
+
+
+def _init_enc(ini: _Init, s: hl.EncSpec, rescale: float) -> dict:
+    p: dict = {}
+    if s.freq:
+        p["conv"] = ini.conv((s.chout, s.chin, s.kernel, 1), rescale)
+    else:
+        p["conv"] = ini.conv((s.chout, s.chin, s.kernel), rescale)
+    if s.empty:
+        return p
+    if s.norm:
+        p["norm1"] = ini.norm(s.chout)
+    if s.rewrite:
+        k = 1 + 2 * s.context
+        if s.freq:
+            p["rewrite"] = ini.conv((2 * s.chout, s.chout, k, k), rescale)
+        else:
+            p["rewrite"] = ini.conv((2 * s.chout, s.chout, k), rescale)
+        if s.norm:
+            p["norm2"] = ini.norm(2 * s.chout)
+    if s.dconv is not None:
+        p["dconv"] = _init_dconv(ini, s.dconv, rescale)
+    return p
+
+
+def _init_dec(ini: _Init, s: hl.DecSpec, rescale: float) -> dict:
+    p: dict = {}
+    if s.freq:
+        p["conv_tr"] = ini.conv_tr((s.chin, s.chout, s.kernel, 1), rescale)
+    else:
+        p["conv_tr"] = ini.conv_tr((s.chin, s.chout, s.kernel), rescale)
+    if s.norm:
+        p["norm2"] = ini.norm(s.chout)
+    if s.empty:
+        return p
+    if s.rewrite:
+        k = 1 + 2 * s.context
+        if s.freq:
+            kh, kw = (k, k) if s.context_freq else (1, k)
+            p["rewrite"] = ini.conv((2 * s.chin, s.chin, kh, kw), rescale)
+        else:
+            p["rewrite"] = ini.conv((2 * s.chin, s.chin, k), rescale)
+        if s.norm:
+            p["norm1"] = ini.norm(2 * s.chin)
+    if s.dconv is not None:
+        p["dconv"] = _init_dconv(ini, s.dconv, rescale)
+    return p
+
+
+def _init_transformer(ini: _Init, s: TransformerSpec) -> dict:
+    p: dict = {"layers": {}, "layers_t": {}}
+    if s.norm_in or s.norm_in_group:
+        p["norm_in"] = ini.norm(s.dim)
+        p["norm_in_t"] = ini.norm(s.dim)
+    if s.emb == "scaled":
+        p["position_embeddings"] = ini.embedding(10000, s.dim, scale=0.2 / 3.0)
+    for idx in range(s.num_layers):
+        for key in ("layers", "layers_t"):
+            if idx % 2 == s.classic_parity:
+                bound = 1.0 / math.sqrt(s.dim)
+                layer = {
+                    "self_attn": {
+                        "in_proj_weight": jnp.asarray(ini.rng.uniform(
+                            -bound, bound, size=(3 * s.dim, s.dim)).astype(np.float32)),
+                        "in_proj_bias": jnp.zeros(3 * s.dim, jnp.float32),
+                        "out_proj": ini.linear(s.dim, s.dim),
+                    },
+                    "linear1": ini.linear(s.hidden_dim, s.dim),
+                    "linear2": ini.linear(s.dim, s.hidden_dim),
+                    "norm1": ini.norm(s.dim),
+                    "norm2": ini.norm(s.dim),
+                }
+            else:
+                bound = 1.0 / math.sqrt(s.dim)
+                layer = {
+                    "cross_attn": {
+                        "in_proj_weight": jnp.asarray(ini.rng.uniform(
+                            -bound, bound, size=(3 * s.dim, s.dim)).astype(np.float32)),
+                        "in_proj_bias": jnp.zeros(3 * s.dim, jnp.float32),
+                        "out_proj": ini.linear(s.dim, s.dim),
+                    },
+                    "linear1": ini.linear(s.hidden_dim, s.dim),
+                    "linear2": ini.linear(s.dim, s.hidden_dim),
+                    "norm1": ini.norm(s.dim),
+                    "norm2": ini.norm(s.dim),
+                    "norm3": ini.norm(s.dim),
+                }
+            if s.norm_first and s.norm_out:
+                layer["norm_out"] = ini.norm(s.dim)
+            if s.layer_scale:
+                layer["gamma_1"] = ini.scale(s.dim, 1e-4)
+                layer["gamma_2"] = ini.scale(s.dim, 1e-4)
+            p[key][idx] = layer
+    return p
+
+
+def init_htdemucs(cfg: HTDemucsConfig, seed: int = 0) -> dict:
+    """Random params with torch-equivalent init distributions + rescale trick."""
+    ini = _Init(seed)
+    lay = layout(cfg)
+    params: dict = {
+        "encoder": {i: _init_enc(ini, s, cfg.rescale) for i, s in enumerate(lay.enc)},
+        "tencoder": {i: _init_enc(ini, s, cfg.rescale) for i, s in enumerate(lay.tenc)},
+        "decoder": {i: _init_dec(ini, s, cfg.rescale) for i, s in enumerate(lay.dec)},
+        "tdecoder": {i: _init_dec(ini, s, cfg.rescale) for i, s in enumerate(lay.tdec)},
+    }
+    if lay.freq_emb_bins:
+        params["freq_emb"] = ini.embedding(
+            lay.freq_emb_bins, lay.freq_emb_dim, smooth=cfg.emb_smooth, scale=cfg.emb_scale)
+    if cfg.bottom_channels:
+        tc = cfg.channels * cfg.growth ** (cfg.depth - 1)
+        params["channel_upsampler"] = ini.conv((cfg.bottom_channels, tc, 1))
+        params["channel_downsampler"] = ini.conv((tc, cfg.bottom_channels, 1))
+        params["channel_upsampler_t"] = ini.conv((cfg.bottom_channels, tc, 1))
+        params["channel_downsampler_t"] = ini.conv((tc, cfg.bottom_channels, 1))
+    if cfg.t_layers > 0:
+        params["crosstransformer"] = _init_transformer(ini, transformer_spec(cfg))
+    return params

@@ -1,0 +1,285 @@
+"""Cross-domain transformer (functional), behavioral ref: ``demucs/transformer.py``.
+
+Two token streams — spectrogram tokens (flattened ``(t, f)`` grid with a 2-D
+sinusoid embedding) and waveform tokens (1-D sinusoid / CAPE) — processed by
+alternating self-attention (both domains independently) and cross-attention
+(each domain queries the other), per ``transformer.py:526-719``.
+
+Positional embeddings are computed host-side in numpy (they depend only on
+static shapes) and constant-folded into the jitted graph.
+
+Attention runs as one batched einsum chain (B*heads folded) so XLA maps the
+two matmuls onto the MXU and fuses softmax; a fused Pallas flash-attention
+kernel can be swapped in via ``demucs_tpu.ops.attention``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demucs_tpu.ops import nn as onn
+from demucs_tpu.ops.attention import multihead_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerSpec:
+    dim: int
+    num_layers: int = 5
+    num_heads: int = 8
+    hidden_scale: float = 4.0
+    cross_first: bool = False
+    emb: str = "sin"  # "sin" | "cape" | "scaled"
+    norm_in: bool = True
+    norm_in_group: bool = False
+    group_norm: bool = False
+    norm_first: bool = True
+    norm_out: bool = True
+    max_period: float = 10000.0
+    layer_scale: bool = True
+    gelu: bool = True
+    weight_pos_embed: float = 1.0
+    sin_random_shift: int = 0
+    cape_mean_normalize: bool = True
+    cape_augment: bool = True
+    cape_glob_loc_scale: tp.Tuple[float, float, float] = (5000.0, 1.0, 1.4)
+    sparse_self_attn: bool = False
+    sparse_cross_attn: bool = False
+
+    @property
+    def hidden_dim(self) -> int:
+        return int(self.dim * self.hidden_scale)
+
+    @property
+    def classic_parity(self) -> int:
+        return 1 if self.cross_first else 0
+
+
+# ---------------------------------------------------------------------------
+# Positional embeddings (numpy, cached on static shapes)
+# transformer.py:19-115
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sin_embedding_np(length: int, dim: int, shift: int, max_period: float) -> np.ndarray:
+    assert dim % 2 == 0
+    pos = shift + np.arange(length, dtype=np.float64)[:, None]
+    half_dim = dim // 2
+    adim = np.arange(half_dim, dtype=np.float64)[None, :]
+    phase = pos / (max_period ** (adim / (half_dim - 1)))
+    return np.concatenate([np.cos(phase), np.sin(phase)], axis=-1).astype(np.float32)
+
+
+def sin_embedding(length: int, dim: int, shift: int = 0, max_period: float = 10000.0):
+    """1-D sinusoid embedding ``(length, dim)`` (transformer.py:19-34)."""
+    return jnp.asarray(_sin_embedding_np(length, dim, shift, max_period))
+
+
+@functools.lru_cache(maxsize=None)
+def _sin_embedding_2d_np(d_model: int, height: int, width: int, max_period: float) -> np.ndarray:
+    if d_model % 4 != 0:
+        raise ValueError("2-D sin embedding requires dim % 4 == 0")
+    pe = np.zeros((d_model, height, width), dtype=np.float64)
+    half = d_model // 2
+    div_term = np.exp(np.arange(0, half, 2, dtype=np.float64) * -(math.log(max_period) / half))
+    pos_w = np.arange(width, dtype=np.float64)[:, None]
+    pos_h = np.arange(height, dtype=np.float64)[:, None]
+    pe[0:half:2] = np.sin(pos_w * div_term).T[:, None, :].repeat(height, axis=1)
+    pe[1:half:2] = np.cos(pos_w * div_term).T[:, None, :].repeat(height, axis=1)
+    pe[half::2] = np.sin(pos_h * div_term).T[:, :, None].repeat(width, axis=2)
+    pe[half + 1 :: 2] = np.cos(pos_h * div_term).T[:, :, None].repeat(width, axis=2)
+    return pe.astype(np.float32)
+
+
+def sin_embedding_2d(d_model: int, height: int, width: int, max_period: float = 10000.0):
+    """2-D sinusoid embedding ``(d_model, height, width)`` (transformer.py:37-70)."""
+    return jnp.asarray(_sin_embedding_2d_np(d_model, height, width, max_period))
+
+
+def cape_embedding(
+    length: int,
+    dim: int,
+    batch_size: int,
+    *,
+    mean_normalize: bool,
+    augment: bool,
+    rng: tp.Optional[jax.Array] = None,
+    max_global_shift: float = 0.0,
+    max_local_shift: float = 0.0,
+    max_scale: float = 1.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """CAPE positional embedding ``(length, batch, dim)`` (transformer.py:73-115).
+
+    With ``augment=True`` (training), random global/local shifts + scale are
+    drawn from ``rng`` (explicit JAX PRNG, replacing the reference's
+    np.random).
+    """
+    assert dim % 2 == 0
+    pos = jnp.tile(jnp.arange(length, dtype=jnp.float32)[:, None, None], (1, batch_size, 1))
+    if mean_normalize:
+        pos = pos - jnp.mean(pos, axis=0, keepdims=True)
+    if augment:
+        assert rng is not None, "cape augment requires an rng key"
+        k1, k2, k3 = jax.random.split(rng, 3)
+        delta = jax.random.uniform(
+            k1, (1, batch_size, 1), minval=-max_global_shift, maxval=max_global_shift
+        )
+        delta_local = jax.random.uniform(
+            k2, (length, batch_size, 1), minval=-max_local_shift, maxval=max_local_shift
+        )
+        log_lambdas = jax.random.uniform(
+            k3, (1, batch_size, 1), minval=-math.log(max_scale), maxval=math.log(max_scale)
+        )
+        pos = (pos + delta + delta_local) * jnp.exp(log_lambdas)
+    half_dim = dim // 2
+    adim = jnp.arange(half_dim, dtype=jnp.float32)[None, None, :]
+    phase = pos / (max_period ** (adim / (half_dim - 1)))
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+
+def _norm_out(p: tp.Optional[dict], x: jax.Array) -> jax.Array:
+    """MyGroupNorm(1) over (B, T, C): normalize all T,C per batch (transformer.py:258-268)."""
+    if p is None:
+        return x
+    xt = jnp.swapaxes(x, 1, 2)  # (B, C, T)
+    xt = onn.group_norm(xt, 1, p["weight"], p["bias"])
+    return jnp.swapaxes(xt, 1, 2)
+
+
+def _ln(p: dict, x: jax.Array) -> jax.Array:
+    return onn.layer_norm(x, p["weight"], p["bias"])
+
+
+def _gamma(p: tp.Optional[dict], x: jax.Array) -> jax.Array:
+    return x if p is None else p["scale"] * x
+
+
+def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int) -> jax.Array:
+    """torch nn.MultiheadAttention with packed in_proj, batch_first inputs."""
+    C = q.shape[-1]
+    w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
+    b_q, b_k, b_v = jnp.split(p["in_proj_bias"], 3, axis=0)
+    qh = onn.linear(q, w_q, b_q)
+    kh = onn.linear(k, w_k, b_k)
+    vh = onn.linear(v, w_v, b_v)
+    out = multihead_attention(qh, kh, vh, num_heads)
+    return onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+
+
+def _ff(p: dict, x: jax.Array, act) -> jax.Array:
+    y = onn.linear(x, p["linear1"]["weight"], p["linear1"]["bias"])
+    return onn.linear(act(y), p["linear2"]["weight"], p["linear2"]["bias"])
+
+
+def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array) -> jax.Array:
+    """MyTransformerEncoderLayer (transformer.py:339-377), norm_first path."""
+    act = onn.gelu if s.gelu else jax.nn.relu
+    g1 = p.get("gamma_1") if s.layer_scale else None
+    g2 = p.get("gamma_2") if s.layer_scale else None
+    if s.norm_first:
+        x = x + _gamma(g1, _attn(p["self_attn"], *( _ln(p["norm1"], x),) * 3, s.num_heads))
+        x = x + _gamma(g2, _ff(p, _ln(p["norm2"], x), act))
+        if s.norm_out:
+            x = _norm_out(p.get("norm_out"), x)
+    else:
+        x = _ln(p["norm1"], x + _gamma(g1, _attn(p["self_attn"], x, x, x, s.num_heads)))
+        x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
+    return x
+
+
+def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array) -> jax.Array:
+    """CrossTransformerEncoderLayer (transformer.py:466-512), norm_first path."""
+    act = onn.gelu if s.gelu else jax.nn.relu
+    g1 = p.get("gamma_1") if s.layer_scale else None
+    g2 = p.get("gamma_2") if s.layer_scale else None
+    if s.norm_first:
+        kn = _ln(p["norm2"], k)
+        x = q + _gamma(g1, _attn(p["cross_attn"], _ln(p["norm1"], q), kn, kn, s.num_heads))
+        x = x + _gamma(g2, _ff(p, _ln(p["norm3"], x), act))
+        if s.norm_out:
+            x = _norm_out(p.get("norm_out"), x)
+    else:
+        x = _ln(p["norm1"], q + _gamma(g1, _attn(p["cross_attn"], q, k, k, s.num_heads)))
+        x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
+    return x
+
+
+def crosstransformer_forward(
+    p: dict,
+    s: TransformerSpec,
+    x: jax.Array,
+    xt: jax.Array,
+    *,
+    train: bool = False,
+    rng: tp.Optional[jax.Array] = None,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """CrossTransformerEncoder forward (transformer.py:648-676).
+
+    Args:
+        x: spectrogram branch ``(B, C, Fr, T1)``.
+        xt: waveform branch ``(B, C, T2)``.
+    """
+    B, C, Fr, T1 = x.shape
+    pos_emb_2d = sin_embedding_2d(C, Fr, T1, s.max_period)  # (C, Fr, T1)
+    # b c fr t1 -> b (t1 fr) c
+    x = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, T1 * Fr, C)
+    pos2d = jnp.transpose(pos_emb_2d, (2, 1, 0)).reshape(1, T1 * Fr, C)
+    if s.norm_in:
+        x = _ln(p["norm_in"], x)
+    elif s.norm_in_group:
+        x = _norm_out(p["norm_in"], x)
+    x = x + s.weight_pos_embed * pos2d
+
+    T2 = xt.shape[-1]
+    xt = jnp.swapaxes(xt, 1, 2)  # (B, T2, C)
+    if s.emb == "sin":
+        # sin_random_shift is 0 for all released configs; train-time random
+        # shift would thread through `rng` here.
+        pos_emb = sin_embedding(T2, C, 0, s.max_period)[None]
+    elif s.emb == "cape":
+        glob, loc, scale = s.cape_glob_loc_scale
+        pe = cape_embedding(
+            T2, C, B,
+            mean_normalize=s.cape_mean_normalize,
+            augment=bool(train and s.cape_augment),
+            rng=rng,
+            max_global_shift=glob, max_local_shift=loc, max_scale=scale,
+            max_period=s.max_period,
+        )
+        pos_emb = jnp.swapaxes(pe, 0, 1)  # (B, T2, C)
+    elif s.emb == "scaled":
+        boost = 3.0
+        pos_emb = (p["position_embeddings"]["embedding"]["weight"][:T2] * boost)[None]
+    else:
+        raise ValueError(f"unknown transformer embedding {s.emb}")
+    if s.norm_in:
+        xt = _ln(p["norm_in_t"], xt)
+    elif s.norm_in_group:
+        xt = _norm_out(p["norm_in_t"], xt)
+    xt = xt + s.weight_pos_embed * pos_emb
+
+    for idx in range(s.num_layers):
+        if idx % 2 == s.classic_parity:
+            x = self_layer_forward(p["layers"][idx], s, x)
+            xt = self_layer_forward(p["layers_t"][idx], s, xt)
+        else:
+            old_x = x
+            x = cross_layer_forward(p["layers"][idx], s, x, xt)
+            xt = cross_layer_forward(p["layers_t"][idx], s, xt, old_x)
+
+    x = jnp.transpose(x.reshape(B, T1, Fr, C), (0, 3, 2, 1))
+    xt = jnp.swapaxes(xt, 1, 2)
+    return x, xt
