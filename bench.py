@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: htdemucs separation throughput (audio-seconds/s per chip).
+
+Runs the flagship HTDemucs (channels=48, nfft=4096, 5 transformer layers,
+7.8 s training segment — the released htdemucs topology) on a synthetic track
+through the full inference engine (overlap-add split, default shifts=1) and
+reports one JSON line:
+
+    {"metric": ..., "value": N, "unit": "audio_s/s", "vs_baseline": N/10}
+
+vs_baseline is measured against the BASELINE.md target of 10x realtime per
+chip (the reference publishes no formal GPU speed; its CPU speed is ~0.67x
+realtime, README.md:300).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=60.0, help="track length")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--shifts", type=int, default=1)
+    parser.add_argument("--overlap", type=float, default=0.25)
+    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--repeats", type=int, default=2)
+    args = parser.parse_args()
+
+    import jax
+
+    from demucs_tpu.models import htdemucs as ht
+    from demucs_tpu.models.registry import Model
+    from demucs_tpu.inference.apply import apply_model
+
+    # Released htdemucs topology (segment 7.8 s, remote/files meta).
+    cfg = ht.HTDemucsConfig(segment=7.8)
+    params = ht.init_htdemucs(cfg, seed=0)
+    params = jax.device_put(params)
+    model = Model("htdemucs", cfg, params)
+
+    sr = cfg.samplerate
+    L = int(args.seconds * sr)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((1, 2, L)) * 0.1).astype(np.float32)
+
+    kw = dict(
+        shifts=args.shifts,
+        split=True,
+        overlap=args.overlap,
+        batch_size=args.batch_size,
+        rng=random.Random(42),
+    )
+
+    # Warmup / compile.
+    t0 = time.time()
+    out = apply_model(model, mix[..., : int(2 * cfg.segment * sr)], **kw)
+    warm = time.time() - t0
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = apply_model(model, mix, **kw)
+        times.append(time.time() - t0)
+    assert np.isfinite(out).all()
+
+    elapsed = min(times)
+    asps = args.seconds / elapsed
+    print(
+        f"# warmup {warm:.1f}s, runs {[f'{t:.2f}' for t in times]}, "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "audio_seconds_per_s_per_chip",
+        "value": round(asps, 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(asps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

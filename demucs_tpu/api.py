@@ -1,0 +1,171 @@
+"""High-level separation API (behavioral ref: ``demucs/api.py``).
+
+``Separator`` holds a model + separation parameters; arrays are numpy on the
+host, device execution handled by the inference engine. The callback protocol
+and the ``NotProvided`` update sentinel match the reference.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from demucs_tpu.audio import convert_audio, ffmpeg_available, read_audio, save_audio  # noqa: F401
+from demucs_tpu.inference.apply import apply_model
+from demucs_tpu.models.registry import BagOfModels, Model
+from demucs_tpu.zoo.pretrained import get_model, make_repo
+
+
+class LoadAudioError(Exception):
+    pass
+
+
+class LoadModelError(Exception):
+    pass
+
+
+class _NotProvided:
+    pass
+
+
+NotProvided = _NotProvided()
+
+
+class Separator:
+    def __init__(
+        self,
+        model: str = "htdemucs",
+        repo: tp.Optional[Path] = None,
+        device: str = "auto",
+        shifts: int = 1,
+        overlap: float = 0.25,
+        split: bool = True,
+        segment: tp.Optional[int] = None,
+        jobs: int = 0,
+        progress: bool = False,
+        callback: tp.Optional[tp.Callable[[dict], None]] = None,
+        callback_arg: tp.Optional[dict] = None,
+        batch_size: int = 8,
+    ):
+        """Load a model by name and hold separation parameters.
+
+        Parameters mirror ``demucs/api.py:53-122`` (``device``/``jobs`` are
+        accepted for compatibility; placement is JAX-managed and parallelism
+        comes from segment batching, tuned with ``batch_size``).
+        """
+        self._name = model
+        self._repo = repo
+        self._load_model()
+        self.update_parameter(
+            device=device, shifts=shifts, overlap=overlap, split=split,
+            segment=segment, jobs=jobs, progress=progress, callback=callback,
+            callback_arg=callback_arg, batch_size=batch_size,
+        )
+
+    def update_parameter(
+        self,
+        device=NotProvided,
+        shifts=NotProvided,
+        overlap=NotProvided,
+        split=NotProvided,
+        segment=NotProvided,
+        jobs=NotProvided,
+        progress=NotProvided,
+        callback=NotProvided,
+        callback_arg=NotProvided,
+        batch_size=NotProvided,
+    ):
+        """Update separation parameters (api.py:124-201)."""
+        if not isinstance(device, _NotProvided):
+            self._device = device
+        if not isinstance(shifts, _NotProvided):
+            self._shifts = shifts
+        if not isinstance(overlap, _NotProvided):
+            self._overlap = overlap
+        if not isinstance(split, _NotProvided):
+            self._split = split
+        if not isinstance(segment, _NotProvided):
+            self._segment = segment
+        if not isinstance(jobs, _NotProvided):
+            self._jobs = jobs
+        if not isinstance(progress, _NotProvided):
+            self._progress = progress
+        if not isinstance(callback, _NotProvided):
+            self._callback = callback
+        if not isinstance(callback_arg, _NotProvided):
+            self._callback_arg = callback_arg
+        if not isinstance(batch_size, _NotProvided):
+            self._batch_size = batch_size
+
+    def _load_model(self):
+        self._model = get_model(name=self._name, repo=self._repo)
+        if self._model is None:
+            raise LoadModelError("Failed to load model")
+        self._audio_channels = self._model.audio_channels
+        self._samplerate = self._model.samplerate
+
+    def _load_audio(self, track: Path) -> np.ndarray:
+        try:
+            wav, _sr = read_audio(track, samplerate=self._samplerate,
+                                  channels=self._audio_channels)
+        except (RuntimeError, OSError, ValueError) as err:
+            raise LoadAudioError(f"Could not load file {track}: {err}")
+        return wav
+
+    def separate_tensor(
+        self, wav: np.ndarray, sr: tp.Optional[int] = None
+    ) -> tp.Tuple[np.ndarray, tp.Dict[str, np.ndarray]]:
+        """Separate a loaded ``(C, T)`` float32 array (api.py:241-291).
+
+        Returns ``(resampled original, {stem: wav})``.
+        """
+        wav = np.asarray(wav, dtype=np.float32)
+        if sr is not None and sr != self.samplerate:
+            wav = convert_audio(wav, sr, self._samplerate, self._audio_channels)
+        ref = wav.mean(axis=0)
+        mean, std = ref.mean(), ref.std()
+        wav = (wav - mean) / (std + 1e-8)
+        callback_arg = dict(self._callback_arg or {})
+        callback_arg["audio_length"] = wav.shape[1]
+        out = apply_model(
+            self._model,
+            wav[None],
+            segment=self._segment,
+            shifts=self._shifts,
+            split=self._split,
+            overlap=self._overlap,
+            callback=self._callback,
+            callback_arg=callback_arg,
+            progress=self._progress,
+            batch_size=self._batch_size,
+        )
+        out = out * (std + 1e-8) + mean
+        wav = wav * (std + 1e-8) + mean
+        return (wav, dict(zip(self._model.sources, out[0])))
+
+    def separate_audio_file(self, file: Path):
+        """Read + separate a file -> ``(origin, {stem: wav})`` (api.py:293-307)."""
+        return self.separate_tensor(self._load_audio(file), self.samplerate)
+
+    @property
+    def samplerate(self):
+        return self._samplerate
+
+    @property
+    def audio_channels(self):
+        return self._audio_channels
+
+    @property
+    def model(self):
+        return self._model
+
+
+def list_models(repo: tp.Optional[Path] = None) -> tp.Dict[str, tp.Dict[str, tp.Any]]:
+    """{"single": ..., "bag": ...} model listing (api.py:322-346)."""
+    any_repo = make_repo(repo)
+    return {
+        "single": any_repo.model_repo.list_model(),
+        "bag": any_repo.bag_repo.list_model(),
+    }

@@ -1,0 +1,181 @@
+"""CLI: separate the sources for the given tracks.
+
+Behavioral reference: ``demucs/separate.py`` — same flag surface (model
+selection, shifts/overlap/split/segment, two-stems with other-method,
+wav bit depths, flac/mp3, clip modes, filename templates, --list-models).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from demucs_tpu.api import Separator, list_models, save_audio
+from demucs_tpu.models.registry import BagOfModels, Model
+from demucs_tpu.zoo.pretrained import add_model_flags
+from demucs_tpu.zoo.repo import ModelLoadingError
+
+
+def fatal(msg: str) -> None:
+    print(msg, file=sys.stderr)
+    sys.exit(1)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        "demucs_tpu.separate", description="Separate the sources for the given tracks"
+    )
+    parser.add_argument("tracks", nargs="*", type=Path, default=[], help="Path to tracks")
+    add_model_flags(parser)
+    parser.add_argument("--list-models", action="store_true",
+                        help="List available models from current repo and exit")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("-o", "--out", type=Path, default=Path("separated"),
+                        help="Folder where to put extracted tracks. A subfolder with the "
+                        "model name will be created.")
+    parser.add_argument("--filename", default="{track}/{stem}.{ext}",
+                        help='Output name template; variables: "{track}", "{trackext}", '
+                        '"{stem}", "{ext}". Default "{track}/{stem}.{ext}".')
+    parser.add_argument("-d", "--device", default="auto",
+                        help="Execution device (JAX-managed; accepted for compatibility)")
+    parser.add_argument("--shifts", default=1, type=int,
+                        help="Number of random shifts for equivariant stabilization.")
+    parser.add_argument("--overlap", default=0.25, type=float,
+                        help="Overlap between the splits.")
+    split_group = parser.add_mutually_exclusive_group()
+    split_group.add_argument("--no-split", action="store_false", dest="split", default=True,
+                             help="Doesn't split audio in chunks.")
+    split_group.add_argument("--segment", type=int, help="Set split size of each chunk.")
+    parser.add_argument("--two-stems", dest="stem", metavar="STEM",
+                        help="Only separate audio into {STEM} and no_{STEM}.")
+    parser.add_argument("--other-method", dest="other_method",
+                        choices=["none", "add", "minus"], default="add",
+                        help='How to compute "no_{STEM}": none|add|minus.')
+    depth_group = parser.add_mutually_exclusive_group()
+    depth_group.add_argument("--int24", action="store_true", help="Save wav as 24 bits.")
+    depth_group.add_argument("--float32", action="store_true", help="Save wav as float32.")
+    parser.add_argument("--clip-mode", default="rescale",
+                        choices=["rescale", "clamp", "none"],
+                        help="Clipping strategy: rescale | clamp | none.")
+    format_group = parser.add_mutually_exclusive_group()
+    format_group.add_argument("--flac", action="store_true", help="Output flac.")
+    format_group.add_argument("--mp3", action="store_true", help="Output mp3.")
+    parser.add_argument("--mp3-bitrate", default=320, type=int, help="mp3 bitrate.")
+    parser.add_argument("--mp3-preset", choices=range(2, 8), type=int, default=2,
+                        help="mp3 encoder preset, 2 = highest quality.")
+    parser.add_argument("-j", "--jobs", default=0, type=int,
+                        help="Number of jobs (compatibility; see --batch-size).")
+    parser.add_argument("--batch-size", default=8, type=int,
+                        help="Segments per device batch (TPU throughput knob).")
+    return parser
+
+
+def main(opts=None):
+    parser = get_parser()
+    args = parser.parse_args(opts)
+    if args.list_models:
+        models = list_models(args.repo)
+        print("Bag of models:", end="\n    ")
+        print("\n    ".join(models["bag"]))
+        print("Single models:", end="\n    ")
+        print("\n    ".join(models["single"]))
+        sys.exit(0)
+    if len(args.tracks) == 0:
+        print("error: the following arguments are required: tracks", file=sys.stderr)
+        sys.exit(1)
+
+    name = args.sig if getattr(args, "sig", None) else args.name
+    try:
+        separator = Separator(
+            model=name,
+            repo=args.repo,
+            device=args.device,
+            shifts=args.shifts,
+            split=args.split,
+            overlap=args.overlap,
+            progress=True,
+            jobs=args.jobs,
+            segment=args.segment,
+            batch_size=args.batch_size,
+        )
+    except ModelLoadingError as error:
+        fatal(error.args[0])
+
+    max_allowed_segment = float("inf")
+    if isinstance(separator.model, Model) and separator.model.kind == "htdemucs":
+        max_allowed_segment = float(separator.model.segment)
+    elif isinstance(separator.model, BagOfModels):
+        max_allowed_segment = separator.model.max_allowed_segment
+    if args.segment is not None and args.segment > max_allowed_segment:
+        fatal(
+            "Cannot use a Transformer model with a longer segment than it was "
+            f"trained for. Maximum segment is: {max_allowed_segment}"
+        )
+
+    if isinstance(separator.model, BagOfModels):
+        print(
+            f"Selected model is a bag of {len(separator.model.models)} models. "
+            "You will see that many progress bars per track."
+        )
+
+    if args.stem is not None and args.stem not in separator.model.sources:
+        fatal(
+            'error: stem "{stem}" is not in selected model. '
+            "STEM must be one of {sources}.".format(
+                stem=args.stem, sources=", ".join(separator.model.sources)
+            )
+        )
+    out = args.out / name
+    out.mkdir(parents=True, exist_ok=True)
+    print(f"Separated tracks will be stored in {out.resolve()}")
+    for track in args.tracks:
+        if not track.exists():
+            print(
+                f"File {track} does not exist. If the path contains spaces, "
+                'please try again after surrounding the entire path with quotes "".',
+                file=sys.stderr,
+            )
+            continue
+        print(f"Separating track {track}")
+
+        origin, res = separator.separate_audio_file(track)
+
+        ext = "mp3" if args.mp3 else ("flac" if args.flac else "wav")
+        kwargs = {
+            "samplerate": separator.samplerate,
+            "bitrate": args.mp3_bitrate,
+            "preset": args.mp3_preset,
+            "clip": args.clip_mode,
+            "as_float": args.float32,
+            "bits_per_sample": 24 if args.int24 else 16,
+        }
+
+        def _path(stem_name):
+            stem = out / args.filename.format(
+                track=track.name.rsplit(".", 1)[0],
+                trackext=track.name.rsplit(".", 1)[-1],
+                stem=stem_name,
+                ext=ext,
+            )
+            stem.parent.mkdir(parents=True, exist_ok=True)
+            return stem
+
+        if args.stem is None:
+            for stem_name, source in res.items():
+                save_audio(source, str(_path(stem_name)), **kwargs)
+        else:
+            if args.other_method == "minus":
+                save_audio(origin - res[args.stem], str(_path("minus_" + args.stem)), **kwargs)
+            save_audio(res.pop(args.stem), str(_path(args.stem)), **kwargs)
+            if args.other_method == "add":
+                other_stem = np.zeros_like(next(iter(res.values())))
+                for i in res.values():
+                    other_stem += i
+                save_audio(other_stem, str(_path("no_" + args.stem)), **kwargs)
+
+
+if __name__ == "__main__":
+    main()
