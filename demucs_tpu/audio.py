@@ -137,26 +137,63 @@ class AudioFile:
 # ---------------------------------------------------------------------------
 
 
-def read_wav(path) -> tp.Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 ``(C, T)``, samplerate)."""
+def wav_info(path) -> dict:
+    """Parse WAV header -> {samplerate, channels, frames, bits, format}."""
+    fmt, offset, size = _parse_wav_header(path)
+    audio_format, n_channels, samplerate, _br, block_align, bits = fmt
+    return {
+        "samplerate": samplerate,
+        "channels": n_channels,
+        "frames": size // block_align,
+        "bits": bits,
+        "format": audio_format,
+    }
+
+
+def _parse_wav_header(path) -> tp.Tuple[tuple, int, int]:
+    """Return (fmt tuple, data byte offset, data byte size)."""
     with open(path, "rb") as f:
         riff, _size, wave_id = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path} is not a RIFF/WAVE file")
         fmt = None
-        data = None
+        data_off = data_size = None
         while True:
             header = f.read(8)
             if len(header) < 8:
                 break
             chunk_id, chunk_size = struct.unpack("<4sI", header)
-            payload = f.read(chunk_size + (chunk_size & 1))
             if chunk_id == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                f.seek(chunk_size + (chunk_size & 1) - 16, 1)
             elif chunk_id == b"data":
-                data = payload[:chunk_size]
-        if fmt is None or data is None:
+                data_off = f.tell()
+                data_size = chunk_size
+                f.seek(chunk_size + (chunk_size & 1), 1)
+            else:
+                f.seek(chunk_size + (chunk_size & 1), 1)
+        if fmt is None or data_off is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
+    return fmt, data_off, data_size
+
+
+def read_wav(path, frame_offset: int = 0,
+             num_frames: tp.Optional[int] = None) -> tp.Tuple[np.ndarray, int]:
+    """Read a WAV file (optionally a frame window) -> (float32 ``(C, T)``, sr).
+
+    ``frame_offset``/``num_frames`` allow seek-reads for the dataset layer
+    (the torchaudio ``ta.load(frame_offset, num_frames)`` equivalent,
+    demucs/wav.py:163-167) without decoding the whole file.
+    """
+    fmt, data_off, data_size = _parse_wav_header(path)
+    audio_format, n_channels, samplerate, _byte_rate, block_align, bits = fmt
+    total_frames = data_size // block_align
+    if num_frames is None:
+        num_frames = total_frames - frame_offset
+    num_frames = max(0, min(num_frames, total_frames - frame_offset))
+    with open(path, "rb") as f:
+        f.seek(data_off + frame_offset * block_align)
+        data = f.read(num_frames * block_align)
     audio_format, n_channels, samplerate, _byte_rate, _block_align, bits = fmt
     if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = 1 if bits in (16, 24) else 3

@@ -1,0 +1,178 @@
+"""Test-set evaluation: MDX "new SDR" (nsdr) natively, museval BSS-eval when
+installed.
+
+Behavioral reference: ``demucs/evaluate.py``. The nsdr definition
+(evaluate.py:30-43) is implemented in numpy/jnp; museval's full BSS-eval is
+used opportunistically (the package is optional). Tracks are round-robin
+sharded across processes (evaluate.py:94) via ``distrib.shard_indices``.
+
+The test set is read as a MusdbHQ-style folder of track dirs with
+``mixture.wav`` + stem wavs (no dependency on the ``musdb`` package; if it is
+installed, non-HQ .mp4 sets also work through it).
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+from concurrent import futures
+from pathlib import Path
+
+import numpy as np
+
+from demucs_tpu import audio as dta
+from demucs_tpu.inference.apply import apply_model
+from demucs_tpu.train import distrib
+
+logger = logging.getLogger(__name__)
+
+
+def new_sdr(references: np.ndarray, estimates: np.ndarray) -> np.ndarray:
+    """MDX-challenge SDR (evaluate.py:30-43). Shapes ``(B, S, C, T)`` ->
+    scores ``(B, S)``."""
+    assert references.ndim == 4 and estimates.ndim == 4
+    delta = 1e-7
+    num = np.sum(np.square(references), axis=(2, 3)) + delta
+    den = np.sum(np.square(references - estimates), axis=(2, 3)) + delta
+    return 10 * np.log10(num / den)
+
+
+def eval_track(references: np.ndarray, estimates: np.ndarray, win: int, hop: int,
+               compute_sdr: bool = True):
+    """Per-track metrics: nsdr always; museval BSS-eval when requested &
+    installed (evaluate.py:46-64)."""
+    # (S, T, C) layout for museval
+    references_t = np.swapaxes(references, 1, 2).astype(np.float64)
+    estimates_t = np.swapaxes(estimates, 1, 2).astype(np.float64)
+
+    new_scores = new_sdr(references[None], estimates[None])[0]
+
+    if not compute_sdr:
+        return None, new_scores
+    try:
+        import museval
+    except ImportError:
+        logger.warning("museval not installed; returning nsdr only")
+        return None, new_scores
+    scores = museval.metrics.bss_eval(
+        references_t, estimates_t,
+        compute_permutation=False,
+        window=win,
+        hop=hop,
+        framewise_filters=False,
+        bsseval_sources_version=False,
+    )[:-1]
+    return scores, new_scores
+
+
+def _iter_test_tracks(musdb_path: Path, sources: tp.Sequence[str]):
+    test_dir = Path(musdb_path) / "test"
+    if not test_dir.is_dir():
+        raise FileNotFoundError(f"No test subset at {test_dir}")
+    for track_dir in sorted(p for p in test_dir.iterdir() if p.is_dir()):
+        yield track_dir.name, track_dir
+
+
+def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
+    """Distributed test-set eval (evaluate.py:67-174): apply_model per track,
+    nsdr (+BSS-eval), cross-process gather, per-source mean/median-of-medians
+    aggregation."""
+    args = solver.args
+    model = solver.model
+
+    output_dir = solver.folder / "results"
+    output_dir.mkdir(exist_ok=True, parents=True)
+
+    src_rate = args.dset.musdb_samplerate
+    win = int(1.0 * model.samplerate)
+    hop = int(1.0 * model.samplerate)
+
+    track_list = list(_iter_test_tracks(args.dset.musdb, model.sources))
+    indexes = distrib.shard_indices(len(track_list))
+
+    pool_cls = futures.ProcessPoolExecutor if args.test.workers else None
+    pendings = []
+    tracks: tp.Dict[str, dict] = {}
+
+    def _process(index):
+        name, track_dir = track_list[index]
+        mix, sr = dta.read_wav(track_dir / "mixture.wav")
+        ref = mix.mean(axis=0)
+        mean, std = ref.mean(), ref.std()
+        mix = (mix - mean) / std
+        mix = dta.convert_audio(mix, sr, model.samplerate, model.audio_channels)
+        estimates = apply_model(
+            model, mix[None],
+            shifts=args.test.shifts, split=args.test.split,
+            overlap=args.test.overlap,
+        )[0]
+        estimates = estimates * std + mean
+
+        refs = []
+        for source in model.sources:
+            wav, ssr = dta.read_wav(track_dir / f"{source}.wav")
+            refs.append(dta.convert_audio(wav, ssr, model.samplerate, model.audio_channels))
+        references = np.stack(refs)
+        if args.test.save:
+            folder = solver.folder / "wav" / name
+            folder.mkdir(exist_ok=True, parents=True)
+            for sname, estimate in zip(model.sources, estimates):
+                dta.save_audio(estimate, folder / (sname + ".wav"), model.samplerate)
+        return name, references, estimates
+
+    if pool_cls is not None:
+        with pool_cls(args.test.workers) as pool:
+            for index in indexes:
+                name, references, estimates = _process(index)
+                pendings.append((name, pool.submit(
+                    eval_track, references, estimates, win=win, hop=hop,
+                    compute_sdr=compute_sdr)))
+            for name, pending in pendings:
+                scores, nsdrs = pending.result()
+                tracks[name] = _scores_dict(model.sources, scores, nsdrs)
+    else:
+        for index in indexes:
+            name, references, estimates = _process(index)
+            scores, nsdrs = eval_track(references, estimates, win=win, hop=hop,
+                                       compute_sdr=compute_sdr)
+            tracks[name] = _scores_dict(model.sources, scores, nsdrs)
+
+    all_tracks: tp.Dict[str, dict] = {}
+    for src in range(distrib.world_size()):
+        all_tracks.update(distrib.share(tracks, src))
+
+    result: tp.Dict[str, float] = {}
+    metric_names = next(iter(all_tracks.values()))[model.sources[0]]
+    for metric_name in metric_names:
+        avg = 0.0
+        avg_of_medians = 0.0
+        for source in model.sources:
+            medians = [
+                np.nanmedian(all_tracks[track][source][metric_name])
+                for track in all_tracks.keys()
+            ]
+            mean = float(np.mean(medians))
+            median = float(np.median(medians))
+            result[metric_name.lower() + "_" + source] = mean
+            result[metric_name.lower() + "_med" + "_" + source] = median
+            avg += mean / len(model.sources)
+            avg_of_medians += median / len(model.sources)
+        result[metric_name.lower()] = avg
+        result[metric_name.lower() + "_med"] = avg_of_medians
+    return result
+
+
+def _scores_dict(sources, scores, nsdrs) -> dict:
+    out: tp.Dict[str, dict] = {}
+    for idx, target in enumerate(sources):
+        out[target] = {"nsdr": [float(nsdrs[idx])]}
+    if scores is not None:
+        (sdr, isr, sir, sar) = scores
+        for idx, target in enumerate(sources):
+            out[target].update({
+                "SDR": sdr[idx].tolist(),
+                "SIR": sir[idx].tolist(),
+                "ISR": isr[idx].tolist(),
+                "SAR": sar[idx].tolist(),
+            })
+    return out

@@ -1,0 +1,152 @@
+"""Multi-host coordination for training.
+
+Behavioral reference: ``demucs/distrib.py`` (torch.distributed/NCCL) replaced
+by JAX-native primitives per SURVEY.md §2.10:
+
+- world size / rank come from ``jax.process_count()`` / ``jax.process_index()``
+- metric averaging is a weighted psum over a global mesh
+  (distrib.py:32-42 all_reduce equivalent)
+- object share uses ``multihost_utils`` broadcast
+- data sharding strides the dataset by process (distrib.py:84-100)
+
+Every helper keeps the reference's ``world_size == 1`` fast path so the whole
+suite runs single-process.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+
+def init() -> None:
+    """Initialize multi-host JAX if launched distributed (dora-style init,
+    distrib.py:24-29). No-op single-process."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+
+def world_size() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def rank() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def average(metrics: tp.Mapping[str, float], count: float = 1.0) -> tp.Dict[str, float]:
+    """Weighted average of metrics across processes (distrib.py:32-42)."""
+    if world_size() == 1:
+        return dict(metrics)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    vec = np.array([metrics[k] * count for k in keys] + [count], dtype=np.float64)
+    summed = multihost_utils.process_allgather(vec).sum(axis=0)
+    return {k: summed[i] / summed[-1] for i, k in enumerate(keys)}
+
+
+def barrier() -> None:
+    if world_size() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("demucs_tpu_barrier")
+
+
+def share(obj: tp.Any = None, src: int = 0) -> tp.Any:
+    """Broadcast a picklable object from ``src`` to all processes
+    (distrib.py:61-81)."""
+    if world_size() == 1:
+        return obj
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj) if rank() == src else b""
+    data = np.frombuffer(payload, dtype=np.uint8)
+    # Gather sizes first, then the padded payloads, from every process; pick src.
+    size = np.array([len(data)], dtype=np.int64)
+    sizes = multihost_utils.process_allgather(size)
+    max_size = int(sizes.max())
+    padded = np.zeros(max_size, dtype=np.uint8)
+    padded[: len(data)] = data
+    all_payloads = multihost_utils.process_allgather(padded)
+    return pickle.loads(all_payloads[src][: int(sizes[src][0])].tobytes())
+
+
+def shard_indices(n: int) -> range:
+    """Round-robin shard ``range(n)`` by rank (evaluate.py:94 pattern)."""
+    return range(rank(), n, world_size())
+
+
+class DataLoader:
+    """Minimal batched loader over a map-style dataset, rank-sharded.
+
+    The reference uses torch DataLoader + DistributedSampler
+    (distrib.py:84-100); here a deterministic shuffle (seeded per epoch)
+    strides examples across processes and yields stacked numpy batches.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, num_workers: int = 0, seed: int = 42):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(range(rank(), len(self.dataset), world_size()))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        mine = order[rank()::world_size()]
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                batch_ids = [
+                    mine[i : i + self.batch_size]
+                    for i in range(0, len(mine), self.batch_size)
+                ]
+                for ids in batch_ids:
+                    if self.drop_last and len(ids) < self.batch_size:
+                        continue
+                    items = list(pool.map(self.dataset.__getitem__, [int(j) for j in ids]))
+                    yield np.stack(items)
+        else:
+            batch = []
+            for idx in mine:
+                batch.append(self.dataset[int(idx)])
+                if len(batch) == self.batch_size:
+                    yield np.stack(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield np.stack(batch)
+
+
+def loader(dataset, batch_size: int, shuffle: bool = False, klass=DataLoader, **kw):
+    """Create a rank-sharded loader (distrib.py:84-100)."""
+    return klass(dataset, batch_size, shuffle=shuffle, **kw)

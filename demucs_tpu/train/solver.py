@@ -1,0 +1,487 @@
+"""Main training loop.
+
+Behavioral reference: ``demucs/solver.py``. The per-batch work (augment ->
+mix -> forward -> weighted loss -> grads -> clip -> optimizer -> batch-EMA)
+is ONE jitted, data-parallel program; epoch orchestration, EMA-swap
+validation, best-state tracking, periodic eval and atomic checkpointing stay
+host-side and match the reference flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import pickle
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from demucs_tpu.evaluate import evaluate, new_sdr
+from demucs_tpu.inference.apply import apply_model
+from demucs_tpu.models.registry import Model
+from demucs_tpu.train import distrib
+from demucs_tpu.train.augment import AugmentConfig, make_augment
+from demucs_tpu.train.config import TrainArgs
+from demucs_tpu.train.ema import ModelEMA
+
+logger = logging.getLogger(__name__)
+
+
+def _summary(metrics):
+    return " | ".join(f"{key.capitalize()}={val}" for key, val in metrics.items())
+
+
+class MetricAverager:
+    """Running average of metric dicts (demucs/utils.py:67-85, beta=1)."""
+
+    def __init__(self):
+        self.total: tp.Dict[str, float] = {}
+        self.fix: tp.Dict[str, float] = {}
+
+    def __call__(self, metrics: dict, weight: float = 1.0) -> dict:
+        for key, value in metrics.items():
+            self.total[key] = self.total.get(key, 0.0) + weight * float(value)
+            self.fix[key] = self.fix.get(key, 0.0) + weight
+        return {key: tot / self.fix[key] for key, tot in self.total.items()}
+
+
+def make_optimizer(args: TrainArgs, model: Model) -> optax.GradientTransformation:
+    """Adam/AdamW with the transformer's own lr/weight-decay group
+    (train.py:75-106 + transformer.py:715-719 make_optim_group)."""
+    opt = args.optim
+
+    def base(lr: float, wd: float) -> optax.GradientTransformation:
+        steps = []
+        if opt.clip_grad:
+            steps.append(optax.clip_by_global_norm(opt.clip_grad))
+        if opt.optim == "adam":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale_by_adam(b1=opt.momentum, b2=opt.beta2))
+            steps.append(optax.scale(-lr))
+        elif opt.optim == "adamw":
+            steps.append(optax.scale_by_adam(b1=opt.momentum, b2=opt.beta2))
+            steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale(-lr))
+        else:
+            raise ValueError(f"Invalid optimizer {opt.optim}")
+        return optax.chain(*steps)
+
+    t_lr = getattr(model.cfg, "t_lr", None)
+    t_wd = getattr(model.cfg, "t_weight_decay", 0.0)
+    if model.kind == "htdemucs" and (t_lr is not None or t_wd):
+        def label_fn(params):
+            return {
+                key: ("transformer" if key == "crosstransformer" else "default")
+                for key in params
+            }
+
+        return optax.multi_transform(
+            {
+                "default": base(opt.lr, opt.weight_decay),
+                "transformer": base(t_lr if t_lr is not None else opt.lr, t_wd),
+            },
+            label_fn,
+        )
+    return base(opt.lr, opt.weight_decay)
+
+
+class Solver:
+    def __init__(self, loaders, model: Model, optimizer: optax.GradientTransformation,
+                 args: TrainArgs, folder: tp.Union[str, Path]):
+        self.args = args
+        self.loaders = loaders
+        self.model = model
+        self.optimizer = optimizer
+        self.opt_state = optimizer.init(model.params)
+        self.folder = Path(folder)
+        self.folder.mkdir(parents=True, exist_ok=True)
+
+        # EMA banks (solver.py:41-50): batch EMAs update per step, epoch EMAs
+        # per epoch. All live on device as pytrees.
+        self.emas: tp.Dict[str, tp.List[ModelEMA]] = {"batch": [], "epoch": []}
+        for kind in self.emas:
+            for decay in getattr(args.ema, kind) or ():
+                self.emas[kind].append(ModelEMA(model.params, decay))
+
+        aug_cfg = AugmentConfig(
+            shift=int(args.dset.samplerate * args.dset.shift),
+            shift_same=args.augment.shift_same,
+            flip=args.augment.flip,
+            scale_proba=args.augment.scale.proba,
+            scale_min=args.augment.scale.min,
+            scale_max=args.augment.scale.max,
+            remix_proba=args.augment.remix.proba,
+            remix_group_size=args.augment.remix.group_size,
+        )
+        # scale/remix only with proba > 0 (solver.py:57-61)
+        full = bool(args.augment.scale.proba or args.augment.remix.proba)
+        self._augment = make_augment(aug_cfg, full=full)
+
+        self.checkpoint_file = self.folder / "checkpoint.tpk"
+        self.best_file = self.folder / "best.dmx"
+        self.history: tp.List[dict] = []
+        self.best_state = None
+        self.best_changed = False
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        self._train_step = self._build_train_step()
+        self._valid_step = self._build_valid_step()
+        self._reset()
+
+    # ------------------------------------------------------------------ steps
+
+    def _build_train_step(self):
+        args = self.args
+        model = self.model
+        forward = model_forward_fn(model.kind)
+        weights = jnp.asarray(args.weights, dtype=jnp.float32)
+        augment = self._augment
+        optimizer = self.optimizer
+
+        def loss_fn(params, sources, rng):
+            mix = sources.sum(axis=1)
+            estimate = forward(params, mix, model.cfg, train=True, rng=rng)
+            assert estimate.shape == sources.shape, (estimate.shape, sources.shape)
+            if args.optim.loss == "l1":
+                loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
+                reco = loss_mat
+            elif args.optim.loss == "mse":
+                loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
+                reco = jnp.sqrt(loss_mat).mean(axis=0)
+                loss_mat = loss_mat.mean(axis=0)
+            else:
+                raise ValueError(f"Invalid loss {args.optim.loss}")
+            loss = (loss_mat * weights).sum() / weights.sum()
+            return loss, reco
+
+        def step(params, opt_state, sources, rng):
+            k_aug, k_model = jax.random.split(rng)
+            sources = augment(k_aug, sources)
+            (loss, reco), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, sources, k_model
+            )
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss, "reco_per_source": reco, "grad": grad_norm}
+            return params, opt_state, metrics
+
+        # NOTE: no buffer donation here — EMA banks and best_state alias the live
+        # param arrays; donation would invalidate them. The perf-critical path
+        # is inference; revisit with explicit copies if train memory binds.
+        return jax.jit(step)
+
+    def _build_valid_step(self):
+        args = self.args
+        model = self.model
+        forward = model_forward_fn(model.kind)
+        weights = jnp.asarray(args.weights, dtype=jnp.float32)
+
+        def step(params, mix, sources):
+            estimate = forward(params, mix, model.cfg, train=False, rng=None)
+            if args.optim.loss == "l1":
+                loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
+                reco = loss_mat
+            else:
+                loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
+                reco = jnp.sqrt(loss_mat).mean(axis=0)
+                loss_mat = loss_mat.mean(axis=0)
+            loss = (loss_mat * weights).sum() / weights.sum()
+            return loss, reco, estimate
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------ persistence
+
+    @property
+    def params(self):
+        return self.model.params
+
+    @params.setter
+    def params(self, value):
+        self.model.params = value
+
+    def _serialize(self, epoch: int) -> None:
+        """Atomic full-state checkpoint (solver.py:77-101)."""
+        def to_host(tree):
+            return jax.tree.map(np.asarray, tree)
+
+        package = {
+            "state": to_host(self.model.params),
+            "optimizer": to_host(self.opt_state),
+            "history": self.history,
+            "best_state": to_host(self.best_state) if self.best_state is not None else None,
+            "args": dataclasses.asdict(self.args),
+            "rng": np.asarray(self.rng),
+        }
+        for kind, emas in self.emas.items():
+            for k, ema in enumerate(emas):
+                package[f"ema_{kind}_{k}"] = {
+                    "state": to_host(ema.state), "count": ema.count}
+        tmp = self.checkpoint_file.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(package, f)
+        tmp.rename(self.checkpoint_file)
+
+        save_every = self.args.save_every
+        if save_every and (epoch + 1) % save_every == 0 and epoch + 1 != self.args.epochs:
+            periodic = self.folder / f"checkpoint_{epoch + 1}.tpk"
+            tmp = periodic.with_suffix(".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(package, f)
+            tmp.rename(periodic)
+
+        if self.best_changed and self.best_state is not None:
+            from demucs_tpu.zoo.native import save_model
+
+            best_model = Model(self.model.kind, self.model.cfg, self.best_state)
+            save_model(best_model, self.best_file,
+                       training_args=dataclasses.asdict(self.args))
+            self.best_changed = False
+
+    def _reset(self) -> None:
+        """Resume from checkpoint / warm starts (solver.py:103-132)."""
+        if self.checkpoint_file.exists():
+            logger.info("Loading checkpoint model: %s", self.checkpoint_file)
+            with open(self.checkpoint_file, "rb") as f:
+                package = pickle.load(f)
+            self.model.params = jax.tree.map(jnp.asarray, package["state"])
+            self.opt_state = jax.tree.map(
+                lambda ref, v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
+                self.opt_state, package["optimizer"],
+            )
+            self.history[:] = package["history"]
+            if package.get("best_state") is not None:
+                self.best_state = jax.tree.map(jnp.asarray, package["best_state"])
+            self.rng = jnp.asarray(package["rng"])
+            for kind, emas in self.emas.items():
+                for k, ema in enumerate(emas):
+                    saved = package[f"ema_{kind}_{k}"]
+                    ema.state = jax.tree.map(jnp.asarray, saved["state"])
+                    ema.count = saved["count"]
+        elif self.args.continue_pretrained:
+            from demucs_tpu.zoo.pretrained import get_model
+
+            pre = get_model(name=self.args.continue_pretrained,
+                            repo=self.args.pretrained_repo)
+            self.model.params = pre.params
+        elif self.args.continue_from:
+            cf = self.folder.parent / str(self.args.continue_from) / "checkpoint.tpk"
+            logger.info("Loading from %s", cf)
+            with open(cf, "rb") as f:
+                package = pickle.load(f)
+            if package.get("best_state") is not None:
+                self.best_state = jax.tree.map(jnp.asarray, package["best_state"])
+            source = package["best_state"] if self.args.continue_best else package["state"]
+            self.model.params = jax.tree.map(jnp.asarray, source)
+            if self.args.continue_opt:
+                self.opt_state = jax.tree.map(
+                    lambda ref, v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
+                    self.opt_state, package["optimizer"],
+                )
+
+    # ------------------------------------------------------------------- loop
+
+    def _format_train(self, metrics: dict) -> dict:
+        losses = {
+            "loss": format(metrics["loss"], ".4f"),
+            "reco": format(metrics["reco"], ".4f"),
+        }
+        for key in ("nsdr", "grad", "best", "bname"):
+            if key in metrics:
+                val = metrics[key]
+                losses[key] = val if isinstance(val, str) else format(val, ".4f")
+        return losses
+
+    def _format_test(self, metrics: dict) -> dict:
+        losses = {}
+        for key in ("sdr", "nsdr"):
+            if key in metrics:
+                losses[key] = format(metrics[key], ".3f")
+        for source in self.model.sources:
+            for prefix in ("sdr", "nsdr"):
+                key = f"{prefix}_{source}"
+                if key in metrics:
+                    losses[key] = format(metrics[key], ".3f")
+        return losses
+
+    def train(self) -> None:
+        """Epoch loop (solver.py:172-289)."""
+        for epoch, metrics in enumerate(self.history):
+            logger.info("Replay | Epoch %d | %s", epoch + 1,
+                        _summary(self._format_train(metrics["train"])))
+
+        for epoch in range(len(self.history), self.args.epochs):
+            metrics: tp.Dict[str, tp.Any] = {}
+            logger.info("-" * 70)
+            logger.info("Training...")
+            metrics["train"] = self._run_one_epoch(epoch)
+            logger.info("Train Summary | Epoch %d | %s", epoch + 1,
+                        _summary(self._format_train(metrics["train"])))
+
+            logger.info("Cross validation...")
+            valid = self._run_one_epoch(epoch, train=False)
+            bvalid = valid
+            bname = "main"
+            state = self.model.params
+            metrics["valid"] = {"main": valid}
+            key = self.args.test.metric
+            for kind, emas in self.emas.items():
+                for k, ema in enumerate(emas):
+                    old = self.model.params
+                    self.model.params = ema.state
+                    try:
+                        v = self._run_one_epoch(epoch, train=False)
+                    finally:
+                        self.model.params = old
+                    name = f"ema_{kind}_{k}"
+                    metrics["valid"][name] = v
+                    a, b = v[key], bvalid[key]
+                    if key.startswith("nsdr"):
+                        a, b = -a, -b
+                    if a < b:
+                        bvalid = v
+                        state = ema.state
+                        bname = name
+            metrics["valid"].update(bvalid)
+            metrics["valid"]["bname"] = bname
+
+            valid_loss = metrics["valid"][key]
+            history_vals = [m["valid"][key] for m in self.history] + [valid_loss]
+            best_loss = max(history_vals) if key.startswith("nsdr") else min(history_vals)
+            metrics["valid"]["best"] = best_loss
+            logger.info("Valid Summary | Epoch %d | %s", epoch + 1,
+                        _summary(self._format_train(metrics["valid"])))
+
+            if valid_loss == best_loss or self.args.dset.train_valid:
+                logger.info("New best valid loss %.4f", valid_loss)
+                self.best_state = jax.tree.map(lambda x: x, state)
+                self.best_changed = True
+
+            should_eval = (epoch + 1) % self.args.test.every == 0
+            is_last = epoch == self.args.epochs - 1
+            if (should_eval or is_last) and self.args.dset.musdb:
+                logger.info("Evaluating on the test set...")
+                eval_state = self.best_state if (self.args.test.best and
+                                                 self.best_state is not None) \
+                    else self.model.params
+                compute_sdr = self.args.test.sdr and is_last
+                old = self.model.params
+                self.model.params = eval_state
+                try:
+                    metrics["test"] = evaluate(self, compute_sdr=compute_sdr)
+                finally:
+                    self.model.params = old
+                logger.info("Test Summary | Epoch %d | %s", epoch + 1,
+                            _summary(self._format_test(metrics["test"])))
+
+            self.history.append(metrics)
+            self._push_history()
+            if distrib.rank() == 0:
+                self._serialize(epoch)
+            if is_last:
+                break
+
+    def _push_history(self) -> None:
+        import json
+
+        def clean(obj):
+            if isinstance(obj, dict):
+                return {k: clean(v) for k, v in obj.items()}
+            if isinstance(obj, (np.floating, np.integer)):
+                return float(obj)
+            if isinstance(obj, (jnp.ndarray, np.ndarray)):
+                return float(obj)
+            return obj
+
+        path = self.folder / "history.json"
+        tmp = path.with_suffix(".tmp")
+        json.dump(clean(self.history), open(tmp, "w"), indent=1)
+        tmp.rename(path)
+
+    def _run_one_epoch(self, epoch: int, train: bool = True) -> dict:
+        """Per-batch loop (solver.py:291-405)."""
+        args = self.args
+        data_loader = self.loaders["train"] if train else self.loaders["valid"]
+        if train and hasattr(data_loader, "set_epoch"):
+            data_loader.set_epoch(epoch)
+
+        averager = MetricAverager()
+        weights = np.asarray(args.weights, dtype=np.float64)
+        losses: tp.Dict[str, float] = {}
+        idx = -1
+        for idx, sources in enumerate(data_loader):
+            if train:
+                self.rng, key = jax.random.split(self.rng)
+                params, self.opt_state, m = self._train_step(
+                    self.model.params, self.opt_state, jnp.asarray(sources), key
+                )
+                self.model.params = params
+                reco = np.asarray(m["reco_per_source"])
+                losses = {
+                    "loss": float(m["loss"]),
+                    "grad": float(m["grad"]),
+                }
+                for ema in self.emas["batch"]:
+                    ema.update(self.model.params)
+            else:
+                mix = sources[:, 0]
+                sources_only = sources[:, 1:]
+                if args.valid_apply:
+                    estimate = apply_model(
+                        self.model, mix, split=args.test.split, overlap=0, shifts=0
+                    )
+                    diff = estimate - sources_only
+                    if args.optim.loss == "l1":
+                        loss_mat = np.abs(diff).mean(axis=(2, 3)).mean(axis=0)
+                        reco = loss_mat
+                    else:
+                        loss_mat = (diff**2).mean(axis=(2, 3))
+                        reco = np.sqrt(loss_mat).mean(axis=0)
+                        loss_mat = loss_mat.mean(axis=0)
+                    loss = float((loss_mat * weights).sum() / weights.sum())
+                    losses = {"loss": loss}
+                else:
+                    loss, reco_j, estimate = self._valid_step(
+                        self.model.params, jnp.asarray(mix), jnp.asarray(sources_only)
+                    )
+                    estimate = np.asarray(estimate)
+                    reco = np.asarray(reco_j)
+                    losses = {"loss": float(loss)}
+                nsdrs = new_sdr(np.asarray(sources_only), estimate).mean(axis=0)
+                total = 0.0
+                for source, nsdr, w in zip(self.model.sources, nsdrs, weights):
+                    losses[f"nsdr_{source}"] = float(nsdr)
+                    total += w * nsdr
+                losses["nsdr"] = float(total / weights.sum())
+            losses["reco"] = float((np.asarray(reco) * weights).sum() / weights.sum())
+            for k, source in enumerate(self.model.sources):
+                losses[f"reco_{source}"] = float(np.asarray(reco)[k])
+            losses = averager(losses)
+            if args.max_batches is not None and idx + 1 >= args.max_batches:
+                break
+            if args.debug and train:
+                break
+            if args.flag == "debug":
+                break
+        if train:
+            for ema in self.emas["epoch"]:
+                ema.update(self.model.params)
+        return distrib.average(losses, idx + 1)
+
+
+def model_forward_fn(kind: str):
+    if kind == "htdemucs":
+        from demucs_tpu.models.htdemucs import forward
+    elif kind == "hdemucs":
+        from demucs_tpu.models.hdemucs import forward
+    elif kind == "demucs":
+        from demucs_tpu.models.demucs import forward
+    else:
+        raise ValueError(kind)
+    return forward
