@@ -41,7 +41,7 @@ def main():
     from demucs_tpu.inference.apply import apply_model
 
     # Released htdemucs topology (segment 7.8 s, remote/files meta).
-    cfg = ht.HTDemucsConfig(segment=7.8)
+    cfg = ht.HTDemucsConfig(segment=7.8, compute_dtype=args.dtype)
     params = ht.init_htdemucs(cfg, seed=0)
     params = jax.device_put(params)
     model = Model("htdemucs", cfg, params)

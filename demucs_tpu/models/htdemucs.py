@@ -97,6 +97,10 @@ class HTDemucsConfig:
     samplerate: int = 44100
     segment: float = 10.0
     use_train_segment: bool = True
+    # Compute dtype policy: "float32" (exact parity) or "bfloat16" (MXU-native
+    # activations/weights with fp32 accumulation; STFT/iSTFT, normalization
+    # statistics and softmax stay fp32).
+    compute_dtype: str = "float32"
 
     @property
     def hop_length(self) -> int:
@@ -194,6 +198,14 @@ def _core(
     stdt = onn.std_unbiased(xt, axis=(1, 2))
     xt = (xt - meant) / (1e-5 + stdt)
 
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params
+        )
+        x = x.astype(dt)
+        xt = xt.astype(dt)
+
     saved, saved_t, lengths, lengths_t = [], [], [], []
     for idx, spec_l in enumerate(lay.enc):
         lengths.append(x.shape[-1])
@@ -255,9 +267,9 @@ def _core(
     assert not saved and not saved_t and not lengths_t
 
     S = len(cfg.sources)
-    x = x.reshape(B, S, -1, Fq, T)
+    x = x.astype(jnp.float32).reshape(B, S, -1, Fq, T)
     x = x * std[:, None] + mean[:, None]
-    xt = xt.reshape(B, S, -1, length)
+    xt = xt.astype(jnp.float32).reshape(B, S, -1, length)
     xt = xt * stdt[:, None] + meant[:, None]
     return x, xt
 

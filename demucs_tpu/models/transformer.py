@@ -241,7 +241,7 @@ def crosstransformer_forward(
         x = _ln(p["norm_in"], x)
     elif s.norm_in_group:
         x = _norm_out(p["norm_in"], x)
-    x = x + s.weight_pos_embed * pos2d
+    x = x + s.weight_pos_embed * pos2d.astype(x.dtype)
 
     T2 = xt.shape[-1]
     xt = jnp.swapaxes(xt, 1, 2)  # (B, T2, C)
@@ -269,7 +269,7 @@ def crosstransformer_forward(
         xt = _ln(p["norm_in_t"], xt)
     elif s.norm_in_group:
         xt = _norm_out(p["norm_in_t"], xt)
-    xt = xt + s.weight_pos_embed * pos_emb
+    xt = xt + s.weight_pos_embed * pos_emb.astype(xt.dtype)
 
     for idx in range(s.num_layers):
         if idx % 2 == s.classic_parity:
