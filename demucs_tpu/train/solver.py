@@ -159,22 +159,51 @@ class Solver:
             loss = (loss_mat * weights).sum() / weights.sum()
             return loss, reco
 
-        def step(params, opt_state, sources, rng):
-            k_aug, k_model = jax.random.split(rng)
-            sources = augment(k_aug, sources)
-            (loss, reco), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, sources, k_model
-            )
-            grad_norm = optax.global_norm(grads)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            metrics = {"loss": loss, "reco_per_source": reco, "grad": grad_norm}
-            return params, opt_state, metrics
+        def make_step(with_svd: bool):
+            def full_loss(params, sources, rng, svd_key):
+                loss, reco = loss_fn(params, sources, rng)
+                penalty = 0.0
+                if with_svd:
+                    from demucs_tpu.train.svd import svd_penalty
+
+                    kw = dataclasses.asdict(args.svd)
+                    kw.pop("penalty")
+                    kw["proba"] = 1.0  # host-side rng decides the skip
+                    penalty = svd_penalty(params, key=svd_key, **kw)
+                    loss = loss + args.svd.penalty * penalty
+                return loss, (reco, penalty)
+
+            def step(params, opt_state, sources, rng):
+                k_aug, k_model, k_svd = jax.random.split(rng, 3)
+                sources = augment(k_aug, sources)
+                (loss, (reco, penalty)), grads = jax.value_and_grad(
+                    full_loss, has_aux=True)(params, sources, k_model, k_svd)
+                grad_norm = optax.global_norm(grads)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics = {"loss": loss, "reco_per_source": reco, "grad": grad_norm}
+                if with_svd:
+                    metrics["penalty"] = penalty
+                return params, opt_state, metrics
+
+            return step
 
         # NOTE: no buffer donation here — EMA banks and best_state alias the live
         # param arrays; donation would invalidate them. The perf-critical path
         # is inference; revisit with explicit copies if train memory binds.
-        return jax.jit(step)
+        plain = jax.jit(make_step(False))
+        if args.svd.penalty > 0:
+            penalized = jax.jit(make_step(True))
+            from demucs_tpu.train.svd import penalty_rng
+
+            def dispatch(params, opt_state, sources, rng):
+                # Shared seeded RNG so all DP workers skip together (svd.py:26-28).
+                if penalty_rng.random() <= args.svd.proba:
+                    return penalized(params, opt_state, sources, rng)
+                return plain(params, opt_state, sources, rng)
+
+            return dispatch
+        return plain
 
     def _build_valid_step(self):
         args = self.args
