@@ -187,7 +187,15 @@ def forward(
     if cfg.cac:
         zout = cac_unpack(x)
     else:
-        raise NotImplementedError("Wiener filtering path (cac=False) not implemented yet")
+        # Magnitude-mask output: phase from the mixture or Wiener EM
+        # (hdemucs.py:644-687 / htdemucs.py:463-509).
+        niters = cfg.end_iters if train else cfg.wiener_iters
+        if niters < 0:
+            zout = z[:, None] / (1e-8 + jnp.abs(z)[:, None]) * x
+        else:
+            from demucs_tpu.ops.wiener import apply_wiener
+
+            zout = apply_wiener(x, z, niters, residual=cfg.wiener_residual)
     if cfg.hybrid:
         x = demucs_ispec(zout, length, hybrid_old=cfg.hybrid_old)
     else:
