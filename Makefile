@@ -1,0 +1,21 @@
+all: tests
+
+tests:
+	python -m pytest tests/ -x -q
+
+# End-to-end CLI matrix on a synthesized track with the tiny in-process model
+# (the reference's `make test_eval` analog runs inside pytest — tests/test_cli.py).
+test_eval:
+	python -m pytest tests/test_cli.py -x -q
+
+# Micro training smoke (the reference's `make test_train` analog).
+test_train:
+	python -m pytest tests/test_train_smoke.py -x -q
+
+bench:
+	python bench.py
+
+lint:
+	python -m flake8 --max-line-length=100 demucs_tpu tests || true
+
+.PHONY: all tests test_eval test_train bench lint

@@ -1,4 +1,7 @@
 """Quick TPU forward-throughput probe for htdemucs (dev tool)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import time, numpy as np, jax, jax.numpy as jnp
 from demucs_tpu.models import htdemucs as ht
 
