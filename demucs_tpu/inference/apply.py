@@ -30,6 +30,15 @@ from demucs_tpu.models.registry import AnyModel, BagOfModels, Model
 __all__ = ["apply_model"]
 
 
+def _accelerator_backend() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
+
 class Chunk:
     """Zero-copy (array, offset, length) view — TensorChunk (apply.py:82-124)."""
 
@@ -153,13 +162,50 @@ def apply_model(
     callback_arg: tp.Optional[dict] = None,
     rng: tp.Optional[_random.Random] = None,
     batch_size: int = 8,
+    engine: str = "auto",
+    transfer_dtype: tp.Optional[str] = "float16",
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
 
     Flag surface and semantics match ``demucs/apply.py:145-173``; ``device``,
     ``num_workers``, ``pool`` and ``lock`` are accepted for API compatibility
     (placement is JAX-managed, parallelism comes from segment batching).
+
+    ``engine``: "host" = per-batch round trips mirroring the reference's
+    orchestration; "device" = fully device-resident overlap-add with ONE fetch
+    per track (demucs_tpu.inference.engine); "auto" picks the device engine on
+    accelerator backends when semantics allow (split mode, single track, no
+    per-chunk callback, HTDemucs-family uniform padding targets).
+    ``transfer_dtype`` applies to the device engine's single final fetch.
     """
+    if engine not in ("auto", "host", "device"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine != "host":
+        mix_arr = mix if isinstance(mix, np.ndarray) else None
+        kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
+                 else [model.kind])
+        eligible = (
+            split
+            and callback is None
+            and mix_arr is not None
+            and mix_arr.ndim == 3
+            and mix_arr.shape[0] == 1
+            and all(k == "htdemucs" for k in kinds)
+        )
+        if engine == "device" or (eligible and _accelerator_backend()):
+            if not eligible:
+                raise ValueError(
+                    "engine='device' requires split mode, a single (1, C, L) "
+                    "track, no callback, and HTDemucs models"
+                )
+            from demucs_tpu.inference.engine import device_apply_model
+
+            return device_apply_model(
+                model, mix_arr,
+                shifts=shifts, overlap=overlap, transition_power=transition_power,
+                segment=segment, batch_size=batch_size, rng=rng,
+                transfer_dtype=transfer_dtype, progress=progress,
+            )
     if rng is None:
         rng = _random  # module acts as a Random instance (reference parity)
     callback_arg = dict(callback_arg or {})

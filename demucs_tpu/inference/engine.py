@@ -1,0 +1,215 @@
+"""Device-resident separation engine.
+
+The host-side engine in ``apply.py`` mirrors the reference's orchestration and
+pays one device->host round trip per segment batch. On this TPU deployment the
+host link is ~20-30 MB/s, so transfers — not compute — bound throughput
+(tools/probe_d2h*.py). This engine keeps the whole track on device:
+
+  upload track once ->
+    [per bag-model, per shift]  ONE jitted program:
+        extract all overlap segments (vmapped dynamic_slice, runtime shift
+        offset — no recompile per random shift) ->
+        batched forwards (lax.map over segment batches) ->
+        triangular-weighted overlap-add + sum-weight normalization ->
+        accumulate into a persistent device buffer (bag/shift averaging)
+  -> ONE final fetch of the stems (optionally fp16/int16 over the wire).
+
+Numerics are identical to apply.py / the reference: segment offsets, centered
+TensorChunk padding (apply.py:108-124), triangular weights ^ transition_power
+(apply.py:271-276), per-source bag weights and shift averaging — all expressed
+with traced offset arithmetic so one executable serves every random shift.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import random as _random
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demucs_tpu.models.registry import BagOfModels, Model
+
+__all__ = ["device_apply_model"]
+
+
+def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndarray:
+    weight = np.concatenate([
+        np.arange(1, segment_length // 2 + 1, dtype=np.float32),
+        np.arange(segment_length - segment_length // 2, 0, -1, dtype=np.float32),
+    ])
+    return (weight / weight.max()) ** transition_power
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: int,
+                   target: int, stride: int, batch_size: int, transition_power: float,
+                   n_sources: int, audio_channels: int):
+    """One compiled (model, shift)-pass over a track of static ``length``.
+
+    Dynamic inputs: params, padded track buffer, shift offset, accumulator and
+    per-source scale. Returns the updated accumulator.
+    """
+    from demucs_tpu.train.solver import model_forward_fn
+
+    forward = model_forward_fn(kind)
+
+    # Segment grid sized for the largest possible shifted view
+    # (length + max_shift samples); shorter views mask out the tail segments.
+    max_view = length + max_shift
+    n_segments = int(math.ceil(max_view / stride))
+    n_batches = int(math.ceil(n_segments / batch_size))
+    n_pad = n_batches * batch_size
+    margin = target  # slack so every centered window stays in bounds
+
+    weight_np = _triangle_weight_np(segment_length, transition_power)
+    buf_len = margin + max_shift + length + max_shift + margin
+
+    def pass_fn(params, track_buf, shift_offset, accum, scale):
+        """track_buf: (C, buf_len) — [margin | max_shift zeros | track |
+        max_shift zeros | margin]. shift_offset: int32 scalar in [0, max_shift].
+        accum: (S, C, length). scale: (S,) per-source contribution weight."""
+        view_length = length + max_shift - shift_offset
+        o = jnp.arange(n_pad, dtype=jnp.int32) * stride  # segment offsets in view
+        valid = o < view_length
+        chunk_len = jnp.clip(view_length - o, 0, segment_length)
+        trim = (target - chunk_len) // 2  # center_trim left cut
+        # start of the centered window in padded_mix coords, then buffer coords
+        start_padded = shift_offset + o - trim
+        start_buf = margin + start_padded
+
+        def extract(s):
+            return jax.lax.dynamic_slice(track_buf, (0, s), (audio_channels, target))
+
+        segments = jax.vmap(extract)(start_buf)  # (n_pad, C, target)
+
+        outs = jax.lax.map(
+            lambda seg: forward(params, seg, cfg),
+            segments.reshape(n_batches, batch_size, audio_channels, target),
+        )  # (n_batches, batch_size, S, C, target)
+        outs = outs.reshape(n_pad, n_sources, audio_channels, target)
+
+        # Per-segment weight vector over target coords: sample j contributes
+        # weight[j - trim] when trim <= j < trim + chunk_len (and segment valid).
+        j = jnp.arange(target, dtype=jnp.int32)[None, :]
+        rel = j - trim[:, None]
+        in_range = (rel >= 0) & (rel < chunk_len[:, None]) & valid[:, None]
+        wvec = jnp.where(
+            in_range,
+            jnp.take(jnp.asarray(weight_np), jnp.clip(rel, 0, segment_length - 1)),
+            0.0,
+        )  # (n_pad, target)
+
+        out_buf = jnp.zeros((n_sources, audio_channels, buf_len), jnp.float32)
+        wsum_buf = jnp.zeros((buf_len,), jnp.float32)
+
+        def body(i, carry):
+            out_buf, wsum_buf = carry
+            s = start_buf[i]
+            piece = jax.lax.dynamic_slice(out_buf, (0, 0, s),
+                                          (n_sources, audio_channels, target))
+            piece = piece + wvec[i][None, None, :] * outs[i]
+            out_buf = jax.lax.dynamic_update_slice(out_buf, piece, (0, 0, s))
+            wpiece = jax.lax.dynamic_slice(wsum_buf, (s,), (target,)) + wvec[i]
+            wsum_buf = jax.lax.dynamic_update_slice(wsum_buf, wpiece, (s,))
+            return out_buf, wsum_buf
+
+        out_buf, wsum_buf = jax.lax.fori_loop(0, n_pad, body, (out_buf, wsum_buf))
+
+        # The original track span sits at padded coords [max_shift, max_shift+length)
+        lo = margin + max_shift
+        res = out_buf[..., lo : lo + length] / jnp.maximum(
+            wsum_buf[lo : lo + length], 1e-12
+        )
+        return accum + scale[:, None, None] * res
+
+    return jax.jit(pass_fn, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=8)
+def _final_fn(transfer_dtype: tp.Optional[str]):
+    if transfer_dtype in (None, "float32"):
+        return jax.jit(lambda x, t: x / t[:, None, None])
+    if transfer_dtype == "float16":
+        return jax.jit(lambda x, t: (x / t[:, None, None]).astype(jnp.float16))
+    raise ValueError(transfer_dtype)
+
+
+def device_apply_model(
+    model: tp.Union[Model, BagOfModels],
+    mix: np.ndarray,
+    *,
+    shifts: int = 1,
+    overlap: float = 0.25,
+    transition_power: float = 1.0,
+    segment: tp.Optional[float] = None,
+    batch_size: int = 8,
+    rng: tp.Optional[_random.Random] = None,
+    transfer_dtype: tp.Optional[str] = "float16",
+    progress: bool = False,
+) -> np.ndarray:
+    """Separate ``mix (1, C, L)`` fully on device -> ``(1, S, C, L)`` float32.
+
+    Matches ``apply_model(split=True)`` numerics; the only approximation is the
+    optional reduced-precision wire format for the single final fetch
+    (``transfer_dtype``), which is well below stem PCM quantization.
+    """
+    if rng is None:
+        rng = _random
+    assert mix.ndim == 3 and mix.shape[0] == 1, mix.shape
+    models = model.models if isinstance(model, BagOfModels) else [model]
+    weights = (model.weights if isinstance(model, BagOfModels)
+               else [[1.0] * len(models[0].sources)])
+
+    first = models[0]
+    samplerate = first.samplerate
+    n_sources = len(first.sources)
+    C = first.audio_channels
+    L = mix.shape[-1]
+    max_shift = int(0.5 * samplerate) if shifts else 0
+
+    totals = np.zeros(n_sources)
+
+    accum = None
+    track_dev = {}
+
+    iterator = list(zip(models, weights))
+    if progress:
+        import tqdm
+
+        iterator = tqdm.tqdm(iterator, ncols=120, unit="model")
+
+    for sub_model, model_weights in iterator:
+        seg_f = segment if segment is not None else sub_model.segment
+        segment_length = int(samplerate * seg_f)
+        stride = int((1 - overlap) * segment_length)
+        target = sub_model.valid_length(segment_length)
+
+        key = (segment_length, target)
+        if key not in track_dev:
+            margin = target
+            buf = np.zeros((C, margin + max_shift + L + max_shift + margin), np.float32)
+            buf[:, margin + max_shift : margin + max_shift + L] = mix[0]
+            track_dev[key] = jax.device_put(buf)
+
+        pass_fn = _build_pass_fn(
+            sub_model.kind, sub_model.cfg, L, max_shift, segment_length, target,
+            stride, batch_size, transition_power, n_sources, C,
+        )
+        if accum is None:
+            accum = jnp.zeros((n_sources, C, L), jnp.float32)
+
+        n_shift_passes = max(1, shifts)
+        for _ in range(n_shift_passes):
+            offset = rng.randint(0, max_shift) if shifts else 0
+            scale = jnp.asarray(model_weights, jnp.float32) / n_shift_passes
+            accum = pass_fn(sub_model.params, track_dev[key],
+                            jnp.int32(offset), accum, scale)
+        totals += np.asarray(model_weights, np.float64)
+
+    final = _final_fn(transfer_dtype)(accum, jnp.asarray(totals, jnp.float32))
+    out = np.asarray(final).astype(np.float32)
+    return out[None]

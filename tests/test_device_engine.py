@@ -1,0 +1,77 @@
+"""Device-resident engine vs host engine: identical numerics.
+
+The device engine re-expresses segment extraction / overlap-add / shift &
+bag averaging as one jitted program; outputs must match the host engine
+(which is itself reference-parity-tested) to float32 tolerance.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from common import make_htdemucs_pair, random_mix
+
+from demucs_tpu.inference.apply import apply_model
+from demucs_tpu.inference.engine import device_apply_model
+from demucs_tpu.models.registry import BagOfModels, Model
+
+
+class _FixedOffsets:
+    def __init__(self, values):
+        self.values = list(values)
+
+    def randint(self, a, b):
+        v = self.values.pop(0)
+        assert a <= v <= b
+        return v
+
+
+@pytest.fixture(scope="module")
+def model():
+    _, cfg, params = make_htdemucs_pair()
+    return Model("htdemucs", cfg, params)
+
+
+@pytest.mark.parametrize("track_secs", [3.3, 1.2])
+def test_device_engine_matches_host_split(model, track_secs):
+    L = int(track_secs * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=30)
+    want = apply_model(model, mix, shifts=0, split=True, overlap=0.25, engine="host")
+    got = device_apply_model(model, mix, shifts=0, overlap=0.25,
+                             transfer_dtype=None, batch_size=3)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_device_engine_matches_host_shifts(model):
+    L = int(1.7 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=31)
+    offsets = [777, 2025]
+    want = apply_model(model, mix, shifts=2, split=True, overlap=0.25,
+                       engine="host", rng=_FixedOffsets(offsets))
+    got = device_apply_model(model, mix, shifts=2, overlap=0.25,
+                             transfer_dtype=None, rng=_FixedOffsets(offsets))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_device_engine_bag(model):
+    _, cfg2, params2 = make_htdemucs_pair(seed=7)
+    model2 = Model("htdemucs", cfg2, params2)
+    weights = [[1.0, 2.0, 1.0, 0.5], [0.5, 1.0, 1.0, 1.0]]
+    bag = BagOfModels([model, model2], weights=weights)
+
+    L = int(1.4 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=32)
+    want = apply_model(bag, mix, shifts=0, split=True, overlap=0.25, engine="host")
+    got = device_apply_model(bag, mix, shifts=0, overlap=0.25, transfer_dtype=None)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_float16_transfer_close(model):
+    L = int(1.1 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=33)
+    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None)
+    f16 = device_apply_model(model, mix, shifts=0, transfer_dtype="float16")
+    scale = np.abs(exact).max()
+    assert np.abs(exact - f16).max() < 2e-3 * max(scale, 1e-3)
