@@ -44,10 +44,13 @@ def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndar
     return (weight / weight.max()) ** transition_power
 
 
+_ACTIVE_MESH: tp.Optional["jax.sharding.Mesh"] = None
+
+
 @functools.lru_cache(maxsize=32)
 def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: int,
                    target: int, stride: int, batch_size: int, transition_power: float,
-                   n_sources: int, audio_channels: int):
+                   n_sources: int, audio_channels: int, n_devices: int = 1):
     """One compiled (model, shift)-pass over a track of static ``length``.
 
     Dynamic inputs: params, padded track buffer, shift offset, accumulator and
@@ -86,10 +89,22 @@ def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: 
 
         segments = jax.vmap(extract)(start_buf)  # (n_pad, C, target)
 
-        outs = jax.lax.map(
-            lambda seg: forward(params, seg, cfg),
-            segments.reshape(n_batches, batch_size, audio_channels, target),
-        )  # (n_batches, batch_size, S, C, target)
+        if n_devices > 1 and _ACTIVE_MESH is not None:
+            # Multi-chip: one forward over all segments, batch dim sharded over
+            # the `dp` mesh axis (SPMD — XLA partitions the model replicas and
+            # all-gathers the outputs over ICI for the overlap-add).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            segs = jax.lax.with_sharding_constraint(
+                segments, NamedSharding(_ACTIVE_MESH, P("dp")))
+            outs = forward(params, segs, cfg)
+            outs = jax.lax.with_sharding_constraint(
+                outs, NamedSharding(_ACTIVE_MESH, P()))
+        else:
+            outs = jax.lax.map(
+                lambda seg: forward(params, seg, cfg),
+                segments.reshape(n_batches, batch_size, audio_channels, target),
+            )  # (n_batches, batch_size, S, C, target)
         outs = outs.reshape(n_pad, n_sources, audio_channels, target)
 
         # Per-segment weight vector over target coords: sample j contributes
@@ -150,6 +165,7 @@ def device_apply_model(
     rng: tp.Optional[_random.Random] = None,
     transfer_dtype: tp.Optional[str] = "float16",
     progress: bool = False,
+    mesh: tp.Optional["jax.sharding.Mesh"] = None,
 ) -> np.ndarray:
     """Separate ``mix (1, C, L)`` fully on device -> ``(1, S, C, L)`` float32.
 
@@ -195,9 +211,15 @@ def device_apply_model(
             buf[:, margin + max_shift : margin + max_shift + L] = mix[0]
             track_dev[key] = jax.device_put(buf)
 
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = mesh
+        n_devices = 1 if mesh is None else mesh.devices.size
+        if mesh is not None:
+            # segment grid must divide evenly across devices
+            batch_size = n_devices
         pass_fn = _build_pass_fn(
             sub_model.kind, sub_model.cfg, L, max_shift, segment_length, target,
-            stride, batch_size, transition_power, n_sources, C,
+            stride, batch_size, transition_power, n_sources, C, n_devices,
         )
         if accum is None:
             accum = jnp.zeros((n_sources, C, L), jnp.float32)

@@ -101,6 +101,7 @@ def layout(cfg: HDemucsConfig) -> hl.HybridLayout:
         freq_emb=cfg.freq_emb,
         hybrid=cfg.hybrid,
         multi_freqs=cfg.multi_freqs,
+        multi_freqs_depth=cfg.multi_freqs_depth,
     )
 
 

@@ -68,6 +68,7 @@ class EncSpec:
     rewrite: bool
     context: int
     dconv: tp.Optional[DConvSpec]
+    multi_freqs: tp.Tuple[float, ...] = ()  # MultiWrap band ratios
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +87,7 @@ class DecSpec:
     context_freq: bool
     last: bool
     dconv: tp.Optional[DConvSpec]
+    multi_freqs: tp.Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,10 +130,10 @@ def build_hybrid_layout(
     freq_emb: float = 0.2,
     hybrid: bool = True,
     multi_freqs: tp.Sequence[float] = (),
+    multi_freqs_depth: int = 0,
 ) -> HybridLayout:
     """Re-creation of the reference constructor loop (hdemucs.py:494-582)."""
-    if multi_freqs:
-        raise NotImplementedError("MultiWrap frequency bands not implemented yet")
+    multi_freqs = tuple(multi_freqs or ())
 
     enc: list[EncSpec] = []
     tenc: list[EncSpec] = []
@@ -181,12 +183,14 @@ def build_hybrid_layout(
             )
 
         pad_amt = ker // 4 if pad else 0
+        multi = bool(multi_freqs) and index < multi_freqs_depth
         enc.append(
             EncSpec(
                 chin=chin_z, chout=chout_z, freq=freq, kernel=ker, stride=stri,
                 pad=pad_amt, empty=False, norm=norm, norm_groups=norm_groups,
                 rewrite=rewrite, context=context_enc,
                 dconv=dconv_spec(chout_z) if dconv_mode & 1 else None,
+                multi_freqs=multi_freqs if multi else (),
             )
         )
         if hybrid and freq:
@@ -209,9 +213,10 @@ def build_hybrid_layout(
             DecSpec(
                 chin=chout_z, chout=chin_z, freq=freq, kernel=ker, stride=stri,
                 pad=pad_amt, empty=False, norm=norm, norm_groups=norm_groups,
-                rewrite=rewrite, context=context, context_freq=True,
+                rewrite=rewrite, context=context, context_freq=not multi,
                 last=index == 0,
                 dconv=dconv_spec(chout_z) if dconv_mode & 2 else None,
+                multi_freqs=multi_freqs if multi else (),
             ),
         )
         if hybrid and freq:
@@ -421,6 +426,9 @@ def henc_forward(
     p: dict, s: EncSpec, x: jax.Array, inject: tp.Optional[jax.Array] = None
 ) -> jax.Array:
     """HEncLayer forward (hdemucs.py:123-157)."""
+    if s.multi_freqs:
+        assert inject is None
+        return multiwrap_enc_forward(p, s, x)
     if not s.freq and x.ndim == 4:
         B, C, Fr, T = x.shape
         x = x.reshape(B, -1, T)
@@ -466,6 +474,8 @@ def hdec_forward(
     p: dict, s: DecSpec, x: jax.Array, skip: tp.Optional[jax.Array], length: int
 ) -> tp.Tuple[jax.Array, jax.Array]:
     """HDecLayer forward (hdemucs.py:304-335). Returns ``(z, pre)``."""
+    if s.multi_freqs:
+        return multiwrap_dec_forward(p, s, x, skip, length)
     if s.freq and x.ndim == 3:
         B, C, T = x.shape
         x = x.reshape(B, s.chin, -1, T)
@@ -514,3 +524,76 @@ def hdec_forward(
 def scaled_embedding_forward(p: dict, ids: jax.Array, scale: float) -> jax.Array:
     """ScaledEmbedding forward (hdemucs.py:43-66): stored weight × scale."""
     return onn.embedding(ids, p["embedding"]["weight"]) * scale
+
+
+# ---------------------------------------------------------------------------
+# MultiWrap — per-frequency-band layer replication (hdemucs.py:160-253)
+# ---------------------------------------------------------------------------
+
+
+def multiwrap_enc_forward(p: dict, s: EncSpec, x: jax.Array) -> jax.Array:
+    """Encoder MultiWrap: split the freq axis into bands (ratios +[1]), run a
+    replica layer per band with explicit edge padding, concat. All band-limit
+    arithmetic mirrors hdemucs.py:195-224 and is static."""
+    B, C, Fr, T = x.shape
+    ratios = list(s.multi_freqs) + [1]
+    sub_spec = dataclasses.replace(s, multi_freqs=(), pad=0)
+    start = 0
+    outs = []
+    pad = s.kernel // 4
+    for k, ratio in enumerate(ratios):
+        if ratio == 1:
+            limit = Fr
+        else:
+            limit = int(round(Fr * ratio))
+            le = limit - start
+            if start == 0:
+                le += pad
+            frames = round((le - s.kernel) / s.stride + 1)
+            limit = start + (frames - 1) * s.stride + s.kernel
+            if start == 0:
+                limit -= pad
+        assert limit - start > 0, (limit, start)
+        assert limit <= Fr, (limit, Fr)
+        y = x[:, :, start:limit, :]
+        if start == 0:
+            y = jnp.pad(y, [(0, 0), (0, 0), (pad, 0), (0, 0)])
+        if ratio == 1:
+            y = jnp.pad(y, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        outs.append(henc_forward(p["layers"][k], sub_spec, y))
+        start = limit - s.kernel + s.stride
+    return jnp.concatenate(outs, axis=2)
+
+
+def multiwrap_dec_forward(
+    p: dict, s: DecSpec, x: jax.Array, skip: jax.Array, length: int
+) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
+    """Decoder MultiWrap (hdemucs.py:226-253): per-band transposed convs with
+    overlap-correction stitching at band boundaries."""
+    B, C, Fr, T = x.shape
+    ratios = list(s.multi_freqs) + [1]
+    # Band replicas run unpadded and without the final GELU (last=True).
+    sub_spec = dataclasses.replace(s, multi_freqs=(), pad=0, last=True)
+    start = 0
+    outs: list = []
+    for k, ratio in enumerate(ratios):
+        limit = Fr if ratio == 1 else int(round(Fr * ratio))
+        y = x[:, :, start:limit]
+        sk = skip[:, :, start:limit]
+        out, _ = hdec_forward(p["layers"][k], sub_spec, y, sk, length)
+        if outs:
+            bias = p["layers"][k]["conv_tr"]["bias"].reshape(1, -1, 1, 1)
+            outs[-1] = outs[-1].at[:, :, -s.stride :].add(
+                out[:, :, : s.stride] - bias
+            )
+            out = out[:, :, s.stride :]
+        if ratio == 1:
+            out = out[:, :, : -s.stride // 2, :]
+        if start == 0:
+            out = out[:, :, s.stride // 2 :, :]
+        outs.append(out)
+        start = limit
+    out = jnp.concatenate(outs, axis=2)
+    if not s.last:
+        out = onn.gelu(out)
+    return out, None

@@ -136,6 +136,7 @@ def layout(cfg: HTDemucsConfig) -> hl.HybridLayout:
         dconv_init=cfg.dconv_init,
         freq_emb=cfg.freq_emb,
         multi_freqs=cfg.multi_freqs,
+        multi_freqs_depth=cfg.multi_freqs_depth,
     )
 
 

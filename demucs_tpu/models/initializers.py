@@ -115,6 +115,12 @@ def init_dconv(ini: Init, s: hl.DConvSpec, rescale: float) -> dict:
 
 
 def init_enc(ini: Init, s: hl.EncSpec, rescale: float) -> dict:
+    if s.multi_freqs:
+        import dataclasses as _dc
+
+        sub = _dc.replace(s, multi_freqs=())
+        return {"layers": {k: init_enc(ini, sub, rescale)
+                           for k in range(len(s.multi_freqs) + 1)}}
     p: dict = {}
     if s.freq:
         p["conv"] = ini.conv((s.chout, s.chin, s.kernel, 1), rescale)
@@ -138,6 +144,12 @@ def init_enc(ini: Init, s: hl.EncSpec, rescale: float) -> dict:
 
 
 def init_dec(ini: Init, s: hl.DecSpec, rescale: float) -> dict:
+    if s.multi_freqs:
+        import dataclasses as _dc
+
+        sub = _dc.replace(s, multi_freqs=())
+        return {"layers": {k: init_dec(ini, sub, rescale)
+                           for k in range(len(s.multi_freqs) + 1)}}
     p: dict = {}
     if s.freq:
         p["conv_tr"] = ini.conv_tr((s.chin, s.chout, s.kernel, 1), rescale)

@@ -1,0 +1,34 @@
+"""Multi-chip separation: data-parallel segments over a device mesh.
+
+SURVEY.md §2.10: the reference's only parallel axis is DP; here overlap-add
+segments are the data-parallel unit (BASELINE.md scaling axis). The engine
+shards the per-track segment batch over the ``dp`` mesh axis; bag members can
+additionally be fanned out across process groups (multi-host).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+
+def make_mesh(n_devices: tp.Optional[int] = None, platform: tp.Optional[str] = None):
+    """1-D ``(dp,)`` mesh over the available devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("dp",))
+
+
+def sharded_apply_model(model, mix: np.ndarray, *, mesh=None, **kwargs) -> np.ndarray:
+    """``apply_model`` with segments sharded over a mesh (defaults to all
+    local devices)."""
+    from demucs_tpu.inference.engine import device_apply_model
+
+    if mesh is None:
+        mesh = make_mesh()
+    return device_apply_model(model, mix, mesh=mesh, **kwargs)

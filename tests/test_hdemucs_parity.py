@@ -59,3 +59,28 @@ def test_hdemucs_init_shapes():
         sorted(set(ours) - set(theirs))[:5],
         [k for k in theirs if k in ours and theirs[k] != ours[k]][:5],
     )
+
+
+def test_multiwrap_parity():
+    """MultiWrap frequency-band replication (hdemucs.py:160-253)."""
+    kwargs = dict(channels=4, multi_freqs=[0.25, 0.5], multi_freqs_depth=2)
+    ref = import_reference()
+    torch.manual_seed(0)
+    tmodel = ref.hdemucs.HDemucs(SOURCES, channels=4, multi_freqs=[0.25, 0.5],
+                                 multi_freqs_depth=2).eval()
+    params = torch_state_to_params(tmodel)
+    cfg = jh.HDemucsConfig(sources=tuple(SOURCES), channels=4,
+                           multi_freqs=(0.25, 0.5), multi_freqs_depth=2)
+    L = 8192
+    mix = random_mix((1, 2, L), seed=6)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(mix)).numpy()
+    got = np.asarray(jax.jit(jh.forward, static_argnames=("cfg",))(params, mix, cfg))
+    err = np.abs(got - want).max()
+    assert err < 3e-3 * max(np.abs(want).max(), 1.0), err
+
+    from demucs_tpu.zoo.torch_load import flatten_state
+
+    ours = {k: tuple(v.shape) for k, v in flatten_state(jh.init_hdemucs(cfg)).items()}
+    theirs = {k: tuple(v.shape) for k, v in tmodel.state_dict().items()}
+    assert ours == theirs

@@ -1,0 +1,66 @@
+"""Decompose device-engine per-track time: upload, pass compute, final fetch."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from demucs_tpu.models import htdemucs as ht
+from demucs_tpu.models.registry import Model
+from demucs_tpu.inference import engine as eng
+
+
+def main():
+    cfg = ht.HTDemucsConfig(segment=7.8)
+    params = jax.device_put(ht.init_htdemucs(cfg, seed=0))
+    model = Model("htdemucs", cfg, params)
+    sr = cfg.samplerate
+    L = int(60 * sr)
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((1, 2, L)) * 0.1).astype(np.float32)
+
+    seg_len = int(sr * 7.8)
+    stride = int(0.75 * seg_len)
+    target = seg_len
+    max_shift = int(0.5 * sr)
+
+    pass_fn = eng._build_pass_fn("htdemucs", cfg, L, max_shift, seg_len, target,
+                                 stride, 8, 1.0, 4, 2)
+    margin = target
+    buf = np.zeros((2, margin + max_shift + L + max_shift + margin), np.float32)
+    buf[:, margin + max_shift: margin + max_shift + L] = mix[0]
+
+    t0 = time.time()
+    buf_dev = jax.device_put(buf)
+    csum = float(jnp.sum(buf_dev))  # force upload completion via tiny readback
+    t_up = time.time() - t0
+    print(f"upload track buf ({buf.nbytes/2**20:.0f} MB): {t_up:.2f} s")
+
+    accum = jnp.zeros((4, 2, L), jnp.float32)
+    scale = jnp.ones((4,), jnp.float32)
+    t0 = time.time()
+    accum = pass_fn(params, buf_dev, jnp.int32(1000), accum, scale)
+    _ = float(jnp.sum(accum[..., :8]))
+    print(f"pass 1 (compile+run): {time.time()-t0:.1f} s")
+
+    for i in range(2):
+        accum2 = jnp.zeros((4, 2, L), jnp.float32)
+        t0 = time.time()
+        accum2 = pass_fn(params, buf_dev, jnp.int32(500 + i), accum2, scale)
+        _ = float(jnp.sum(accum2[..., :8]))
+        print(f"pass steady: {time.time()-t0:.2f} s")
+
+    fin = eng._final_fn("float16")
+    t0 = time.time()
+    out = np.asarray(fin(accum2, jnp.ones(4, jnp.float32)))
+    print(f"final fetch fp16 ({out.nbytes/2**20:.0f} MB): {time.time()-t0:.2f} s")
+    t0 = time.time()
+    out32 = np.asarray(eng._final_fn(None)(accum2, jnp.ones(4, jnp.float32)))
+    print(f"final fetch fp32 ({out32.nbytes/2**20:.0f} MB): {time.time()-t0:.2f} s")
+
+
+if __name__ == "__main__":
+    main()
