@@ -150,7 +150,25 @@ def _final_fn(transfer_dtype: tp.Optional[str]):
         return jax.jit(lambda x, t: x / t[:, None, None])
     if transfer_dtype == "float16":
         return jax.jit(lambda x, t: (x / t[:, None, None]).astype(jnp.float16))
+    if transfer_dtype == "int16":
+        def quantize(x, t):
+            x = x / t[:, None, None]
+            scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 32766.0 + 1e-12
+            return jnp.round(x / scale).astype(jnp.int16), scale
+        return jax.jit(quantize)
     raise ValueError(transfer_dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _prep_fn(C: int, L: int, margin: int, max_shift: int):
+    """Pad the raw uploaded track into the engine buffer on device (the
+    zero margins never cross the host link)."""
+
+    def prep(mix):
+        mix = mix.astype(jnp.float32)
+        return jnp.pad(mix, [(0, 0), (margin + max_shift, max_shift + margin)])
+
+    return jax.jit(prep)
 
 
 def device_apply_model(
@@ -164,6 +182,7 @@ def device_apply_model(
     batch_size: int = 8,
     rng: tp.Optional[_random.Random] = None,
     transfer_dtype: tp.Optional[str] = "float16",
+    input_transfer_dtype: tp.Optional[str] = "float16",
     progress: bool = False,
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
 ) -> np.ndarray:
@@ -207,9 +226,10 @@ def device_apply_model(
         key = (segment_length, target)
         if key not in track_dev:
             margin = target
-            buf = np.zeros((C, margin + max_shift + L + max_shift + margin), np.float32)
-            buf[:, margin + max_shift : margin + max_shift + L] = mix[0]
-            track_dev[key] = jax.device_put(buf)
+            wire = mix[0]
+            if input_transfer_dtype == "float16":
+                wire = wire.astype(np.float16)
+            track_dev[key] = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire))
 
         global _ACTIVE_MESH
         _ACTIVE_MESH = mesh
@@ -232,6 +252,10 @@ def device_apply_model(
                             jnp.int32(offset), accum, scale)
         totals += np.asarray(model_weights, np.float64)
 
-    final = _final_fn(transfer_dtype)(accum, jnp.asarray(totals, jnp.float32))
-    out = np.asarray(final).astype(np.float32)
+    result = _final_fn(transfer_dtype)(accum, jnp.asarray(totals, jnp.float32))
+    if transfer_dtype == "int16":
+        ints, scales = result
+        out = np.asarray(ints).astype(np.float32) * np.asarray(scales)
+    else:
+        out = np.asarray(result).astype(np.float32)
     return out[None]

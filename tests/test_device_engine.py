@@ -39,7 +39,7 @@ def test_device_engine_matches_host_split(model, track_secs):
     mix = random_mix((1, 2, L), seed=30)
     want = apply_model(model, mix, shifts=0, split=True, overlap=0.25, engine="host")
     got = device_apply_model(model, mix, shifts=0, overlap=0.25,
-                             transfer_dtype=None, batch_size=3)
+                             transfer_dtype=None, input_transfer_dtype=None, batch_size=3)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
@@ -51,7 +51,7 @@ def test_device_engine_matches_host_shifts(model):
     want = apply_model(model, mix, shifts=2, split=True, overlap=0.25,
                        engine="host", rng=_FixedOffsets(offsets))
     got = device_apply_model(model, mix, shifts=2, overlap=0.25,
-                             transfer_dtype=None, rng=_FixedOffsets(offsets))
+                             transfer_dtype=None, input_transfer_dtype=None, rng=_FixedOffsets(offsets))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
@@ -64,14 +64,26 @@ def test_device_engine_bag(model):
     L = int(1.4 * model.segment * model.samplerate)
     mix = random_mix((1, 2, L), seed=32)
     want = apply_model(bag, mix, shifts=0, split=True, overlap=0.25, engine="host")
-    got = device_apply_model(bag, mix, shifts=0, overlap=0.25, transfer_dtype=None)
+    got = device_apply_model(bag, mix, shifts=0, overlap=0.25, transfer_dtype=None, input_transfer_dtype=None)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
 def test_float16_transfer_close(model):
     L = int(1.1 * model.segment * model.samplerate)
     mix = random_mix((1, 2, L), seed=33)
-    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None)
+    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None, input_transfer_dtype=None)
     f16 = device_apply_model(model, mix, shifts=0, transfer_dtype="float16")
     scale = np.abs(exact).max()
     assert np.abs(exact - f16).max() < 2e-3 * max(scale, 1e-3)
+
+
+def test_int16_transfer_close(model):
+    L = int(1.1 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=34)
+    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None,
+                               input_transfer_dtype=None)
+    i16 = device_apply_model(model, mix, shifts=0, transfer_dtype="int16",
+                             input_transfer_dtype="float16")
+    scale = np.abs(exact).max()
+    # int16 wire format ~ -90 dB vs stem scale; f16 input ~ -60 dB
+    assert np.abs(exact - i16).max() < 5e-3 * max(scale, 1e-3)
