@@ -97,6 +97,8 @@ class HTDemucsConfig:
     samplerate: int = 44100
     segment: float = 10.0
     use_train_segment: bool = True
+    # Fused Pallas attention kernel for the transformer (numerics-equivalent).
+    t_flash_attn: bool = False
     # Compute dtype policy: "float32" (exact parity) or "bfloat16" (MXU-native
     # activations/weights with fp32 accumulation; STFT/iSTFT, normalization
     # statistics and softmax stay fp32).
@@ -165,6 +167,7 @@ def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
         cape_glob_loc_scale=cfg.t_cape_glob_loc_scale,
         sparse_self_attn=cfg.t_sparse_self_attn,
         sparse_cross_attn=cfg.t_sparse_cross_attn,
+        flash_attn=cfg.t_flash_attn,
     )
 
 

@@ -51,6 +51,7 @@ class TransformerSpec:
     cape_glob_loc_scale: tp.Tuple[float, float, float] = (5000.0, 1.0, 1.4)
     sparse_self_attn: bool = False
     sparse_cross_attn: bool = False
+    flash_attn: bool = False  # use the fused Pallas attention kernel
 
     @property
     def hidden_dim(self) -> int:
@@ -167,7 +168,8 @@ def _gamma(p: tp.Optional[dict], x: jax.Array) -> jax.Array:
     return x if p is None else p["scale"] * x
 
 
-def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int) -> jax.Array:
+def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+          flash: bool = False) -> jax.Array:
     """torch nn.MultiheadAttention with packed in_proj, batch_first inputs."""
     C = q.shape[-1]
     w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
@@ -175,7 +177,12 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int) -> 
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
-    out = multihead_attention(qh, kh, vh, num_heads)
+    if flash:
+        from demucs_tpu.ops.pallas.attention import flash_mha
+
+        out = flash_mha(qh, kh, vh, num_heads)
+    else:
+        out = multihead_attention(qh, kh, vh, num_heads)
     return onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
 
 
@@ -190,12 +197,14 @@ def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array) -> jax.Array:
     g1 = p.get("gamma_1") if s.layer_scale else None
     g2 = p.get("gamma_2") if s.layer_scale else None
     if s.norm_first:
-        x = x + _gamma(g1, _attn(p["self_attn"], *( _ln(p["norm1"], x),) * 3, s.num_heads))
+        x = x + _gamma(g1, _attn(p["self_attn"], *( _ln(p["norm1"], x),) * 3, s.num_heads,
+                                 flash=s.flash_attn))
         x = x + _gamma(g2, _ff(p, _ln(p["norm2"], x), act))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)
     else:
-        x = _ln(p["norm1"], x + _gamma(g1, _attn(p["self_attn"], x, x, x, s.num_heads)))
+        x = _ln(p["norm1"], x + _gamma(g1, _attn(p["self_attn"], x, x, x, s.num_heads,
+                                               flash=s.flash_attn)))
         x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
     return x
 
@@ -207,12 +216,14 @@ def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array)
     g2 = p.get("gamma_2") if s.layer_scale else None
     if s.norm_first:
         kn = _ln(p["norm2"], k)
-        x = q + _gamma(g1, _attn(p["cross_attn"], _ln(p["norm1"], q), kn, kn, s.num_heads))
+        x = q + _gamma(g1, _attn(p["cross_attn"], _ln(p["norm1"], q), kn, kn, s.num_heads,
+                                 flash=s.flash_attn))
         x = x + _gamma(g2, _ff(p, _ln(p["norm3"], x), act))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)
     else:
-        x = _ln(p["norm1"], q + _gamma(g1, _attn(p["cross_attn"], q, k, k, s.num_heads)))
+        x = _ln(p["norm1"], q + _gamma(g1, _attn(p["cross_attn"], q, k, k, s.num_heads,
+                                               flash=s.flash_attn)))
         x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
     return x
 
