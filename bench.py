@@ -59,9 +59,9 @@ def main():
         rng=random.Random(42),
     )
 
-    # Warmup / compile.
+    # Warmup / compile on the SAME track length (one executable).
     t0 = time.time()
-    out = apply_model(model, mix[..., : int(2 * cfg.segment * sr)], **kw)
+    out = apply_model(model, mix, **kw)
     warm = time.time() - t0
 
     times = []
