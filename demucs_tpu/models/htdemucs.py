@@ -90,6 +90,12 @@ class HTDemucsConfig:
     t_cape_glob_loc_scale: tp.Tuple[float, float, float] = (5000.0, 1.0, 1.4)
     t_sparse_self_attn: bool = False
     t_sparse_cross_attn: bool = False
+    t_mask_type: str = "diag"
+    t_mask_random_seed: int = 42
+    t_sparse_attn_window: int = 500
+    t_global_window: int = 100
+    t_sparsity: float = 0.95
+    t_auto_sparsity: bool = False
     t_cross_first: bool = False
     # Weight init
     rescale: float = 0.1
@@ -167,6 +173,11 @@ def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
         cape_glob_loc_scale=cfg.t_cape_glob_loc_scale,
         sparse_self_attn=cfg.t_sparse_self_attn,
         sparse_cross_attn=cfg.t_sparse_cross_attn,
+        mask_type=cfg.t_mask_type,
+        mask_random_seed=cfg.t_mask_random_seed,
+        sparse_attn_window=cfg.t_sparse_attn_window,
+        global_window=cfg.t_global_window,
+        sparsity=cfg.t_sparsity,
         flash_attn=cfg.t_flash_attn,
     )
 

@@ -51,6 +51,11 @@ class TransformerSpec:
     cape_glob_loc_scale: tp.Tuple[float, float, float] = (5000.0, 1.0, 1.4)
     sparse_self_attn: bool = False
     sparse_cross_attn: bool = False
+    mask_type: str = "diag"
+    mask_random_seed: int = 42
+    sparse_attn_window: int = 500
+    global_window: int = 50
+    sparsity: float = 0.95
     flash_attn: bool = False  # use the fused Pallas attention kernel
 
     @property
@@ -168,8 +173,15 @@ def _gamma(p: tp.Optional[dict], x: jax.Array) -> jax.Array:
     return x if p is None else p["scale"] * x
 
 
+def _sparse_mask(s: "TransformerSpec", Tq: int, Tk: int):
+    from demucs_tpu.ops.sparse import get_mask
+
+    return get_mask(Tk, Tq, s.mask_type, s.sparse_attn_window, s.global_window,
+                    s.mask_random_seed, s.sparsity)
+
+
 def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-          flash: bool = False) -> jax.Array:
+          flash: bool = False, mask=None) -> jax.Array:
     """torch nn.MultiheadAttention with packed in_proj, batch_first inputs."""
     C = q.shape[-1]
     w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
@@ -177,12 +189,12 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
-    if flash:
+    if flash and mask is None:
         from demucs_tpu.ops.pallas.attention import flash_mha
 
         out = flash_mha(qh, kh, vh, num_heads)
     else:
-        out = multihead_attention(qh, kh, vh, num_heads)
+        out = multihead_attention(qh, kh, vh, num_heads, mask=mask)
     return onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
 
 
@@ -197,8 +209,9 @@ def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array) -> jax.Array:
     g1 = p.get("gamma_1") if s.layer_scale else None
     g2 = p.get("gamma_2") if s.layer_scale else None
     if s.norm_first:
+        m = _sparse_mask(s, x.shape[1], x.shape[1]) if s.sparse_self_attn else None
         x = x + _gamma(g1, _attn(p["self_attn"], *( _ln(p["norm1"], x),) * 3, s.num_heads,
-                                 flash=s.flash_attn))
+                                 flash=s.flash_attn, mask=m))
         x = x + _gamma(g2, _ff(p, _ln(p["norm2"], x), act))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)
@@ -216,8 +229,10 @@ def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array)
     g2 = p.get("gamma_2") if s.layer_scale else None
     if s.norm_first:
         kn = _ln(p["norm2"], k)
+        m = (_sparse_mask(s, q.shape[1], k.shape[1])
+             if s.sparse_cross_attn else None)
         x = q + _gamma(g1, _attn(p["cross_attn"], _ln(p["norm1"], q), kn, kn, s.num_heads,
-                                 flash=s.flash_attn))
+                                 flash=s.flash_attn, mask=m))
         x = x + _gamma(g2, _ff(p, _ln(p["norm3"], x), act))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)

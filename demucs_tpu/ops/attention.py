@@ -31,11 +31,14 @@ def multihead_attention(
     k: jax.Array,
     v: jax.Array,
     num_heads: int,
+    mask=None,
 ) -> jax.Array:
     """Scaled dot-product attention over already-projected q/k/v.
 
     Args:
         q: ``(B, Tq, C)``; k/v: ``(B, Tk, C)``.
+        mask: optional boolean keep-mask ``(Tq, Tk)`` (sparse-attention
+            variants, transformer.py:118-212); masked-out scores get -inf.
     Returns:
         ``(B, Tq, C)`` (pre-output-projection).
     """
@@ -45,6 +48,8 @@ def multihead_attention(
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(jnp.asarray(mask)[None, None], scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
     out = out.astype(q.dtype)
