@@ -169,3 +169,45 @@ def list_models(repo: tp.Optional[Path] = None) -> tp.Dict[str, tp.Dict[str, tp.
         "single": any_repo.model_repo.list_model(),
         "bag": any_repo.bag_repo.list_model(),
     }
+
+
+if __name__ == "__main__":
+    # API self-test CLI (reference api.py:349-392); two-stem not supported.
+    from pathlib import Path
+
+    from demucs_tpu.separate import get_parser
+
+    args = get_parser().parse_args()
+    name = args.sig if getattr(args, "sig", None) else args.name
+    separator = Separator(
+        model=name,
+        repo=args.repo,
+        device=args.device,
+        shifts=args.shifts,
+        overlap=args.overlap,
+        split=args.split,
+        segment=args.segment,
+        jobs=args.jobs,
+        callback=print,
+    )
+    out = args.out / name
+    out.mkdir(parents=True, exist_ok=True)
+    for file in args.tracks:
+        separated = separator.separate_audio_file(file)[1]
+        ext = "mp3" if args.mp3 else ("flac" if args.flac else "wav")
+        kwargs = {
+            "samplerate": separator.samplerate,
+            "bitrate": args.mp3_bitrate,
+            "clip": args.clip_mode,
+            "as_float": args.float32,
+            "bits_per_sample": 24 if args.int24 else 16,
+        }
+        for stem, source in separated.items():
+            stem_path = out / args.filename.format(
+                track=Path(file).name.rsplit(".", 1)[0],
+                trackext=Path(file).name.rsplit(".", 1)[-1],
+                stem=stem,
+                ext=ext,
+            )
+            stem_path.parent.mkdir(parents=True, exist_ok=True)
+            save_audio(source, str(stem_path), **kwargs)
