@@ -31,7 +31,11 @@ def main():
     parser.add_argument("--shifts", type=int, default=1)
     parser.add_argument("--overlap", type=float, default=0.25)
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    parser.add_argument("--repeats", type=int, default=2)
+    parser.add_argument("--transfer", default="float16",
+                        choices=["float32", "float16", "int16"],
+                        help="wire format of the per-track stems fetch "
+                        "(int16 == the CLI's default PCM16 output quantization)")
+    parser.add_argument("--repeats", type=int, default=3)
     args = parser.parse_args()
 
     import jax
@@ -57,6 +61,7 @@ def main():
         overlap=args.overlap,
         batch_size=args.batch_size,
         rng=random.Random(42),
+        transfer_dtype=None if args.transfer == "float32" else args.transfer,
     )
 
     # Warmup / compile on the SAME track length (one executable).

@@ -113,5 +113,22 @@ def load_th_model(path) -> tp.Tuple[tp.Any, str, dict]:
         raise NotImplementedError("diffq-quantized checkpoints not supported yet")
     klass_name = pkg["klass"].__name__ if not isinstance(pkg["klass"], str) else pkg["klass"]
     cfg, kind = config_from_torch_kwargs(klass_name, pkg.get("args", ()), pkg.get("kwargs", {}))
-    params = nest_state({k: v.numpy() for k, v in state.items()})
+    flat = {k: v.numpy() for k, v in state.items()}
+    if kind == "demucs":
+        flat = _demucs_v2_rename_shim(flat, cfg.depth)
+    params = nest_state(flat)
     return cfg, kind, params
+
+
+def _demucs_v2_rename_shim(state: dict, depth: int) -> dict:
+    """Previous-generation Demucs models stored the rewrite conv at Sequential
+    index 2; current models at 3 (demucs.py:438-447)."""
+    state = dict(state)
+    for idx in range(depth):
+        for a in ("encoder", "decoder"):
+            for b in ("bias", "weight"):
+                new = f"{a}.{idx}.3.{b}"
+                old = f"{a}.{idx}.2.{b}"
+                if old in state and new not in state:
+                    state[new] = state.pop(old)
+    return state

@@ -23,7 +23,16 @@ def small_htdemucs_kwargs():
     )
 
 
+_PAIR_CACHE = {}
+
+
 def make_htdemucs_pair(extra=None, seed=0):
+    """Build (torch reference model, our cfg, bridged params). Cached — pairs
+    are treated as read-only by all tests, and sharing them shares the jit
+    cache across test modules (big CPU-time win for the suite)."""
+    key = (tuple(sorted((extra or {}).items())), seed)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
     from demucs_tpu.models import htdemucs as jht
 
     ref = import_reference()
@@ -34,7 +43,8 @@ def make_htdemucs_pair(extra=None, seed=0):
     tmodel = ref.htdemucs.HTDemucs(SOURCES, **kwargs).eval()
     params = torch_state_to_params(tmodel)
     cfg = jht.HTDemucsConfig(sources=tuple(SOURCES), **kwargs)
-    return tmodel, cfg, params
+    _PAIR_CACHE[key] = (tmodel, cfg, params)
+    return _PAIR_CACHE[key]
 
 
 def random_mix(shape, seed=0, scale=0.1):

@@ -62,7 +62,7 @@ def test_hdemucs_cac_false_forward(wiener_iters):
     from demucs_tpu.models import hdemucs as jh
 
     cfg = jh.HDemucsConfig(
-        sources=tuple(SOURCES), channels=4, cac=False,
+        sources=tuple(SOURCES), channels=4, cac=False, nfft=1024,
         wiener_iters=wiener_iters, end_iters=wiener_iters,
     )
     params = jh.init_hdemucs(cfg)
