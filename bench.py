@@ -36,6 +36,10 @@ def main():
                         help="wire format of the per-track stems fetch "
                         "(int16 == the CLI's default PCM16 output quantization)")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--flash", action="store_true",
+                        help="use the Pallas flash-attention kernel")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a jax.profiler trace of one timed run")
     args = parser.parse_args()
 
     import jax
@@ -45,7 +49,8 @@ def main():
     from demucs_tpu.inference.apply import apply_model
 
     # Released htdemucs topology (segment 7.8 s, remote/files meta).
-    cfg = ht.HTDemucsConfig(segment=7.8, compute_dtype=args.dtype)
+    cfg = ht.HTDemucsConfig(segment=7.8, compute_dtype=args.dtype,
+                            t_flash_attn=args.flash)
     params = ht.init_htdemucs(cfg, seed=0)
     params = jax.device_put(params)
     model = Model("htdemucs", cfg, params)
@@ -70,10 +75,18 @@ def main():
     warm = time.time() - t0
 
     times = []
-    for _ in range(args.repeats):
+    for i in range(args.repeats):
+        if args.profile and i == args.repeats - 1:
+            try:
+                jax.profiler.start_trace(args.profile)
+            except Exception as exc:  # profiling may be unavailable via the tunnel
+                print(f"# profiler unavailable: {exc}", file=sys.stderr)
+                args.profile = None
         t0 = time.time()
         out = apply_model(model, mix, **kw)
         times.append(time.time() - t0)
+        if args.profile and i == args.repeats - 1:
+            jax.profiler.stop_trace()
     assert np.isfinite(out).all()
 
     elapsed = min(times)
