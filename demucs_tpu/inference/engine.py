@@ -185,6 +185,7 @@ def device_apply_model(
     input_transfer_dtype: tp.Optional[str] = "float16",
     progress: bool = False,
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
+    length_bucket_seconds: tp.Optional[float] = None,
 ) -> np.ndarray:
     """Separate ``mix (1, C, L)`` fully on device -> ``(1, S, C, L)`` float32.
 
@@ -195,6 +196,17 @@ def device_apply_model(
     if rng is None:
         rng = _random
     assert mix.ndim == 3 and mix.shape[0] == 1, mix.shape
+    orig_length = mix.shape[-1]
+    if length_bucket_seconds:
+        # Quantize track length so one compiled pass serves many tracks
+        # (compiles cost 25-70 s on this deployment). The right-zero padding
+        # matches the reference's own zero-padding of tail chunks; only the
+        # final partial chunk's context differs slightly.
+        sr0 = (model.models[0] if isinstance(model, BagOfModels) else model).samplerate
+        bucket = int(length_bucket_seconds * sr0)
+        target_len = -(-orig_length // bucket) * bucket
+        if target_len != orig_length:
+            mix = np.pad(mix, [(0, 0), (0, 0), (0, target_len - orig_length)])
     models = model.models if isinstance(model, BagOfModels) else [model]
     weights = (model.weights if isinstance(model, BagOfModels)
                else [[1.0] * len(models[0].sources)])
@@ -258,4 +270,4 @@ def device_apply_model(
         out = np.asarray(ints).astype(np.float32) * np.asarray(scales)
     else:
         out = np.asarray(result).astype(np.float32)
-    return out[None]
+    return out[None][..., :orig_length]

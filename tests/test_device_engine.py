@@ -87,3 +87,21 @@ def test_int16_transfer_close(model):
     scale = np.abs(exact).max()
     # int16 wire format ~ -90 dB vs stem scale; f16 input ~ -60 dB
     assert np.abs(exact - i16).max() < 5e-3 * max(scale, 1e-3)
+
+
+def test_length_bucketing(model):
+    """Bucketed track length reuses one executable; interior samples match the
+    exact path, deviation confined to the final chunk region."""
+    sr = model.samplerate
+    L = int(1.9 * model.segment * sr)
+    mix = random_mix((1, 2, L), seed=35)
+    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None,
+                               input_transfer_dtype=None)
+    bucketed = device_apply_model(model, mix, shifts=0, transfer_dtype=None,
+                                  input_transfer_dtype=None,
+                                  length_bucket_seconds=model.segment)
+    assert bucketed.shape == exact.shape
+    # away from the tail chunk, results identical
+    seg = int(model.segment * sr)
+    np.testing.assert_allclose(bucketed[..., : L - seg], exact[..., : L - seg],
+                               atol=2e-5, rtol=1e-4)
