@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import typing as tp
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +74,28 @@ def _frame(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     return x[..., idx]
 
 
+# STFT/iSTFT inner transform: "fft" = jnp.fft (XLA butterfly, VPU-bound on
+# TPU) or "matmul" = dense DFT basis matmuls (MXU path; the framed DFT is a
+# (frames, n_fft) @ (n_fft, freqs) contraction — per the BASELINE north star).
+DEFAULT_METHOD = "fft"
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_basis_np(n_fft: int) -> tuple:
+    eye = np.eye(n_fft, dtype=np.float64)
+    F = np.fft.rfft(eye, axis=-1)  # (n_fft, freqs)
+    return F.real.astype(np.float32), F.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_basis_np(n_fft: int) -> tuple:
+    freqs = n_fft // 2 + 1
+    eye = np.eye(freqs, dtype=np.float64)
+    Mr = np.fft.irfft(eye, n=n_fft, axis=-1)  # irfft of real unit vectors
+    Mi = np.fft.irfft(1j * eye, n=n_fft, axis=-1)
+    return Mr.astype(np.float32), Mi.astype(np.float32)
+
+
 def stft(
     x: jax.Array,
     n_fft: int,
@@ -80,6 +103,7 @@ def stft(
     *,
     normalized: bool = True,
     center: bool = True,
+    method: tp.Optional[str] = None,
 ) -> jax.Array:
     """Complex STFT matching ``torch.stft(..., window=hann, pad_mode='reflect')``.
 
@@ -88,13 +112,42 @@ def stft(
     Returns:
         complex64 ``(..., n_fft // 2 + 1, n_frames)``.
     """
+    method = method or DEFAULT_METHOD
     dtype = x.dtype
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = _frame(x, n_fft, hop)
-    win = hann_window(n_fft, dtype=dtype)
-    z = jnp.fft.rfft(frames * win, axis=-1)
+    if method == "matmul" and n_fft % hop == 0:
+        # Fused chunk-matmul DFT: never materialize the overlapped frames.
+        # With r = n_fft/hop, frame t = chunks [t, t+r), so
+        # Z[t] = sum_j chunks[t+j] @ G_j with G_j the windowed DFT basis rows
+        # for chunk j — r shifted matmuls straight onto the MXU.
+        r = n_fft // hop
+        L = x.shape[-1]
+        n_frames = 1 + (L - n_fft) // hop
+        n_chunks = L // hop
+        y = x[..., : n_chunks * hop].reshape(*x.shape[:-1], n_chunks, hop)
+        Fr, Fi = _rdft_basis_np(n_fft)
+        win_np = _hann_np(n_fft)[:, None].astype(np.float64)
+        zr = zi = 0.0
+        for j in range(r):
+            Gr = jnp.asarray((win_np * Fr)[j * hop : (j + 1) * hop].astype(np.float32))
+            Gi = jnp.asarray((win_np * Fi)[j * hop : (j + 1) * hop].astype(np.float32))
+            yj = y[..., j : j + n_frames, :]
+            zr = zr + jnp.matmul(yj, Gr, preferred_element_type=jnp.float32)
+            zi = zi + jnp.matmul(yj, Gi, preferred_element_type=jnp.float32)
+        z = jax.lax.complex(zr, zi)
+    else:
+        frames = _frame(x, n_fft, hop)
+        win = hann_window(n_fft, dtype=dtype)
+        fw = frames * win
+        if method == "matmul":
+            Fr, Fi = _rdft_basis_np(n_fft)
+            zr = jnp.matmul(fw, jnp.asarray(Fr), preferred_element_type=jnp.float32)
+            zi = jnp.matmul(fw, jnp.asarray(Fi), preferred_element_type=jnp.float32)
+            z = jax.lax.complex(zr, zi)
+        else:
+            z = jnp.fft.rfft(fw, axis=-1)
     if normalized:
         z = z * jnp.asarray(1.0 / math.sqrt(n_fft), dtype=dtype)
     return jnp.swapaxes(z, -1, -2)
@@ -146,6 +199,7 @@ def istft(
     length: int | None = None,
     normalized: bool = True,
     center: bool = True,
+    method: tp.Optional[str] = None,
 ) -> jax.Array:
     """Inverse STFT matching ``torch.istft`` (hann window, centered).
 
@@ -154,13 +208,43 @@ def istft(
     Returns:
         real ``(..., length)`` (or full uncropped OLA length minus center pad).
     """
+    method = method or DEFAULT_METHOD
     n_frames = z.shape[-1]
     zt = jnp.swapaxes(z, -1, -2)  # (..., n_frames, freqs)
     if normalized:
         zt = zt * math.sqrt(n_fft)
-    frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
-    win = hann_window(n_fft, dtype=frames.dtype)
-    y = _overlap_add(frames * win, hop)
+    if method == "matmul" and n_fft % hop == 0:
+        # Fused matmul iDFT + overlap-add: out_chunk[c] = sum_j Z[c-j] @ M_j
+        # with M_j the windowed inverse-basis columns for chunk j. Shifted
+        # matmul accumulation — the windowed frames are never materialized.
+        r = n_fft // hop
+        n_out_chunks = n_frames - 1 + r
+        Mr, Mi = _irdft_basis_np(n_fft)
+        win_np = _hann_np(n_fft)[None, :].astype(np.float64)
+        lead = zt.shape[:-2]
+        y = jnp.zeros((*lead, n_out_chunks, hop), jnp.float32)
+        zre, zim = zt.real, zt.imag
+        for j in range(r):
+            Mrj = jnp.asarray((Mr * win_np)[:, j * hop : (j + 1) * hop].astype(np.float32))
+            Mij = jnp.asarray((Mi * win_np)[:, j * hop : (j + 1) * hop].astype(np.float32))
+            contrib = (
+                jnp.matmul(zre, Mrj, preferred_element_type=jnp.float32)
+                + jnp.matmul(zim, Mij, preferred_element_type=jnp.float32)
+            )
+            pad_cfg = [(0, 0)] * len(lead) + [(j, n_out_chunks - n_frames - j), (0, 0)]
+            y = y + jnp.pad(contrib, pad_cfg)
+        y = y.reshape(*lead, n_out_chunks * hop)
+    else:
+        if method == "matmul":
+            Mr, Mi = _irdft_basis_np(n_fft)
+            frames = (
+                jnp.matmul(zt.real, jnp.asarray(Mr), preferred_element_type=jnp.float32)
+                + jnp.matmul(zt.imag, jnp.asarray(Mi), preferred_element_type=jnp.float32)
+            )
+        else:
+            frames = jnp.fft.irfft(zt, n=n_fft, axis=-1)
+        win = hann_window(n_fft, dtype=frames.dtype)
+        y = _overlap_add(frames * win, hop)
     env = jnp.asarray(_window_envelope_np(n_fft, hop, n_frames))
     y = y / jnp.maximum(env, 1e-11)
     if center:
@@ -200,7 +284,8 @@ def pad1d(
     return jnp.pad(x, lead + [(padding_left, padding_right)], constant_values=value)
 
 
-def demucs_spec(x: jax.Array, nfft: int, *, hybrid_old: bool = False) -> jax.Array:
+def demucs_spec(x: jax.Array, nfft: int, *, hybrid_old: bool = False,
+                method: tp.Optional[str] = None) -> jax.Array:
     """Demucs-convention spectrogram of ``x (..., L)``.
 
     Pads so frames == ceil(L / hop) (kernel-style 'same' behavior), drops the
@@ -212,12 +297,13 @@ def demucs_spec(x: jax.Array, nfft: int, *, hybrid_old: bool = False) -> jax.Arr
     pad = hop // 2 * 3
     mode = "constant" if hybrid_old else "reflect"
     x = pad1d(x, (pad, pad + le * hop - x.shape[-1]), mode=mode)
-    z = stft(x, nfft, hop)[..., :-1, :]
+    z = stft(x, nfft, hop, method=method)[..., :-1, :]
     assert z.shape[-1] == le + 4, (z.shape, le)
     return z[..., 2 : 2 + le]
 
 
-def demucs_ispec(z: jax.Array, length: int, *, hybrid_old: bool = False) -> jax.Array:
+def demucs_ispec(z: jax.Array, length: int, *, hybrid_old: bool = False,
+                 method: tp.Optional[str] = None) -> jax.Array:
     """Inverse of :func:`demucs_spec` cropped to ``length``.
 
     Re-appends the Nyquist row, re-pads 2 frames each side, and inverts with
@@ -229,10 +315,10 @@ def demucs_ispec(z: jax.Array, length: int, *, hybrid_old: bool = False) -> jax.
     pad = hop // 2 * 3
     if hybrid_old:
         le = hop * int(math.ceil(length / hop))
-        x = istft(z, 4 * hop, hop, length=le)
+        x = istft(z, 4 * hop, hop, length=le, method=method)
         return x[..., :length]
     le = hop * int(math.ceil(length / hop)) + 2 * pad
-    x = istft(z, 4 * hop, hop, length=le)
+    x = istft(z, 4 * hop, hop, length=le, method=method)
     return x[..., pad : pad + length]
 
 

@@ -169,3 +169,18 @@ def test_cac_roundtrip_and_layout():
     zz = np.asarray(jspec.cac_unpack(stacked))
     np.testing.assert_allclose(zz[:, 0], z, atol=1e-6)
     np.testing.assert_allclose(zz[:, 1], 2 * z, atol=1e-6)
+
+
+def test_matmul_dft_matches_fft():
+    """MXU-path DFT matmuls reproduce the FFT STFT/iSTFT exactly."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 2, 8000)).astype(np.float32)
+    for n_fft, hop in [(512, 128), (4096, 1024)]:
+        z_fft = np.asarray(jspec.stft(jnp.asarray(x), n_fft, hop, method="fft"))
+        z_mm = np.asarray(jspec.stft(jnp.asarray(x), n_fft, hop, method="matmul"))
+        np.testing.assert_allclose(z_mm, z_fft, atol=3e-5, rtol=1e-4)
+        y_fft = np.asarray(jspec.istft(jnp.asarray(z_fft), n_fft, hop, length=8000,
+                                       method="fft"))
+        y_mm = np.asarray(jspec.istft(jnp.asarray(z_fft), n_fft, hop, length=8000,
+                                      method="matmul"))
+        np.testing.assert_allclose(y_mm, y_fft, atol=3e-5, rtol=1e-4)
