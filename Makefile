@@ -15,7 +15,10 @@ test_train:
 bench:
 	python bench.py
 
+native:
+	g++ -O3 -shared -fPIC -pthread -std=c++17 native/wavio.cpp -o native/wavio.so
+
 lint:
 	python -m flake8 --max-line-length=100 demucs_tpu tests || true
 
-.PHONY: all tests test_eval test_train bench lint
+.PHONY: all tests test_eval test_train bench native lint

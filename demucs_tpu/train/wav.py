@@ -124,14 +124,28 @@ class Wavset:
             if self.segment is not None:
                 offset = int(meta["samplerate"] * self.shift * index)
                 num_frames = int(math.ceil(meta["samplerate"] * self.segment))
-            wavs = []
-            for source in self.sources:
-                wav, _ = dta.read_wav(self.get_file(name, source),
-                                      frame_offset=offset, num_frames=num_frames)
-                wav = dta.convert_audio_channels(wav, self.channels)
-                wavs.append(wav)
+            example = None
+            if num_frames is not None and self.ext == EXT:
+                # GIL-free C++ decode when the native runtime is built
+                # (demucs_tpu/native.py; zero-pads + channel-converts in C++).
+                from demucs_tpu import native
 
-            example = np.stack(wavs)  # (S, C, T)
+                if native.available():
+                    parts = [
+                        native.read_wav_window(self.get_file(name, source),
+                                               offset, num_frames, self.channels)
+                        for source in self.sources
+                    ]
+                    if all(p is not None for p in parts):
+                        example = np.stack(parts)
+            if example is None:
+                wavs = []
+                for source in self.sources:
+                    wav, _ = dta.read_wav(self.get_file(name, source),
+                                          frame_offset=offset, num_frames=num_frames)
+                    wav = dta.convert_audio_channels(wav, self.channels)
+                    wavs.append(wav)
+                example = np.stack(wavs)  # (S, C, T)
             example = dta.resample(example, meta["samplerate"], self.samplerate)
             if self.normalize:
                 example = (example - meta["mean"]) / meta["std"]
