@@ -14,7 +14,6 @@ import numpy as np
 
 from demucs_tpu.audio import convert_audio, ffmpeg_available, read_audio, save_audio  # noqa: F401
 from demucs_tpu.inference.apply import apply_model
-from demucs_tpu.models.registry import BagOfModels, Model
 from demucs_tpu.zoo.pretrained import get_model, make_repo
 
 

@@ -17,7 +17,6 @@ import struct
 import subprocess as sp
 import tempfile
 import typing as tp
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -194,8 +193,7 @@ def read_wav(path, frame_offset: int = 0,
     with open(path, "rb") as f:
         f.seek(data_off + frame_offset * block_align)
         data = f.read(num_frames * block_align)
-    audio_format, n_channels, samplerate, _byte_rate, _block_align, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = 1 if bits in (16, 24) else 3
     if audio_format == 3 and bits == 32:
         arr = np.frombuffer(data, dtype="<f4").astype(np.float32)

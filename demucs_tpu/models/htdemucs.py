@@ -15,12 +15,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 import typing as tp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from demucs_tpu.ops import nn as onn
 from demucs_tpu.ops.spec import cac_pack, cac_unpack, demucs_ispec, demucs_spec

@@ -23,7 +23,6 @@ bf16 activations with fp32 accumulation (``preferred_element_type``).
 
 from __future__ import annotations
 
-import math
 import typing as tp
 
 import jax

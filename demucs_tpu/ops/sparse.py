@@ -15,7 +15,6 @@ dense (numpy, cached on static shapes) and applied as ``-inf`` biases.
 from __future__ import annotations
 
 import functools
-import typing as tp
 
 import numpy as np
 

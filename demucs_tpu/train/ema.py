@@ -7,7 +7,6 @@ weights. The update is a pure jitted pytree op.
 
 from __future__ import annotations
 
-import typing as tp
 from contextlib import contextmanager
 
 import jax

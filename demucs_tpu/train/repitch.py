@@ -11,7 +11,6 @@ wrapper degrades to pass-through cropping so training still runs.
 
 from __future__ import annotations
 
-import io
 import random
 import shutil
 import subprocess as sp

@@ -11,7 +11,6 @@ XLA from the sharding annotations (replacing DDP/NCCL allreduce,
 from __future__ import annotations
 
 import dataclasses
-import functools
 import typing as tp
 
 import jax

@@ -11,7 +11,6 @@ Usage:
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import sys
 from pathlib import Path
