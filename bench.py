@@ -44,6 +44,10 @@ def main():
 
     import jax
 
+    from demucs_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from demucs_tpu.models import htdemucs as ht
     from demucs_tpu.models.registry import Model
     from demucs_tpu.inference.apply import apply_model

@@ -74,6 +74,9 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main(opts=None):
+    from demucs_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = get_parser()
     args = parser.parse_args(opts)
     if args.list_models:

@@ -170,6 +170,9 @@ def get_solver(args: TrainArgs, model_only: bool = False) -> Solver:
 
 
 def main(argv=None) -> None:
+    from demucs_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     argv = sys.argv[1:] if argv is None else argv
     args = TrainArgs()
