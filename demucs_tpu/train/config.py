@@ -193,6 +193,8 @@ def apply_overrides(args: TrainArgs, overrides: tp.Mapping[str, tp.Any]) -> Trai
 
 def parse_cli_overrides(tokens: tp.Sequence[str]) -> tp.Dict[str, tp.Any]:
     """Parse Hydra-style ``key=value`` CLI tokens with YAML value parsing."""
+    import re
+
     import yaml
 
     out = {}
@@ -200,7 +202,12 @@ def parse_cli_overrides(tokens: tp.Sequence[str]) -> tp.Dict[str, tp.Any]:
         if "=" not in token:
             raise ValueError(f"Override {token!r} must be key=value")
         key, value = token.split("=", 1)
-        out[key] = yaml.safe_load(value) if value != "" else None
+        parsed = yaml.safe_load(value) if value != "" else None
+        # YAML 1.1 keeps "1e-4" a string (no mantissa dot); treat it as float.
+        if isinstance(parsed, str) and re.fullmatch(
+                r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", parsed):
+            parsed = float(parsed)
+        out[key] = parsed
     return out
 
 
