@@ -267,7 +267,26 @@ def device_apply_model(
     result = _final_fn(transfer_dtype)(accum, jnp.asarray(totals, jnp.float32))
     if transfer_dtype == "int16":
         ints, scales = result
-        out = np.asarray(ints).astype(np.float32) * np.asarray(scales)
+        out = _chunked_fetch(ints).astype(np.float32) * np.asarray(scales)
     else:
-        out = np.asarray(result).astype(np.float32)
+        out = _chunked_fetch(result).astype(np.float32)
     return out[None][..., :orig_length]
+
+
+_FETCH_CHUNK_BYTES = 12 * 2**20
+
+
+def _chunked_fetch(arr) -> np.ndarray:
+    """Device->host fetch in <=12 MB slices along the last axis.
+
+    This deployment's host link throughput collapses on large single
+    transfers (tools/probe_d2h2.py: 16 MB sustains ~44 MB/s, 84 MB drops to
+    ~9 MB/s), so the final stems are pulled in bounded pieces."""
+    nbytes = arr.size * arr.dtype.itemsize
+    if nbytes <= _FETCH_CHUNK_BYTES:
+        return np.asarray(arr)
+    L = arr.shape[-1]
+    n_chunks = -(-nbytes // _FETCH_CHUNK_BYTES)
+    step = -(-L // n_chunks)
+    parts = [np.asarray(arr[..., i : i + step]) for i in range(0, L, step)]
+    return np.concatenate(parts, axis=-1)
