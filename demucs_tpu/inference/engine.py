@@ -144,18 +144,42 @@ def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: 
     return jax.jit(pass_fn, donate_argnums=(3,))
 
 
-@functools.lru_cache(maxsize=8)
-def _final_fn(transfer_dtype: tp.Optional[str]):
+_FETCH_CHUNK_BYTES = 12 * 2**20
+
+
+@functools.lru_cache(maxsize=64)
+def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
+    """Normalize + wire-format cast + pre-slice for chunked fetch.
+
+    The host link collapses on large single transfers (tools/probe_d2h2.py:
+    16 MB sustains ~44 MB/s, 84 MB drops to ~9 MB/s), so the stems come back
+    as a tuple of <=12 MB slices — all produced by ONE jitted executable.
+    """
+    nbytes = length * item_bytes
+    n_chunks = max(1, -(-nbytes // _FETCH_CHUNK_BYTES))
+    step = -(-length // n_chunks)
+    bounds = [(i, min(length, i + step)) for i in range(0, length, step)]
+
+    def normalize(x, t):
+        return x / t[:, None, None]
+
     if transfer_dtype in (None, "float32"):
-        return jax.jit(lambda x, t: x / t[:, None, None])
+        def fn(x, t):
+            y = normalize(x, t)
+            return tuple(y[..., a:b] for a, b in bounds)
+        return jax.jit(fn)
     if transfer_dtype == "float16":
-        return jax.jit(lambda x, t: (x / t[:, None, None]).astype(jnp.float16))
+        def fn(x, t):
+            y = normalize(x, t).astype(jnp.float16)
+            return tuple(y[..., a:b] for a, b in bounds)
+        return jax.jit(fn)
     if transfer_dtype == "int16":
-        def quantize(x, t):
-            x = x / t[:, None, None]
-            scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 32766.0 + 1e-12
-            return jnp.round(x / scale).astype(jnp.int16), scale
-        return jax.jit(quantize)
+        def fn(x, t):
+            y = normalize(x, t)
+            scale = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 32766.0 + 1e-12
+            q = jnp.round(y / scale).astype(jnp.int16)
+            return tuple(q[..., a:b] for a, b in bounds), scale
+        return jax.jit(fn)
     raise ValueError(transfer_dtype)
 
 
@@ -264,29 +288,15 @@ def device_apply_model(
                             jnp.int32(offset), accum, scale)
         totals += np.asarray(model_weights, np.float64)
 
-    result = _final_fn(transfer_dtype)(accum, jnp.asarray(totals, jnp.float32))
+    item_bytes = n_sources * C * (
+        2 if transfer_dtype in ("float16", "int16") else 4)
+    final = _final_fn(transfer_dtype, L, item_bytes)
+    result = final(accum, jnp.asarray(totals, jnp.float32))
     if transfer_dtype == "int16":
-        ints, scales = result
-        out = _chunked_fetch(ints).astype(np.float32) * np.asarray(scales)
+        pieces, scales = result
+        out = np.concatenate([np.asarray(p) for p in pieces], axis=-1)
+        out = out.astype(np.float32) * np.asarray(scales)
     else:
-        out = _chunked_fetch(result).astype(np.float32)
+        out = np.concatenate([np.asarray(p) for p in result], axis=-1)
+        out = out.astype(np.float32)
     return out[None][..., :orig_length]
-
-
-_FETCH_CHUNK_BYTES = 12 * 2**20
-
-
-def _chunked_fetch(arr) -> np.ndarray:
-    """Device->host fetch in <=12 MB slices along the last axis.
-
-    This deployment's host link throughput collapses on large single
-    transfers (tools/probe_d2h2.py: 16 MB sustains ~44 MB/s, 84 MB drops to
-    ~9 MB/s), so the final stems are pulled in bounded pieces."""
-    nbytes = arr.size * arr.dtype.itemsize
-    if nbytes <= _FETCH_CHUNK_BYTES:
-        return np.asarray(arr)
-    L = arr.shape[-1]
-    n_chunks = -(-nbytes // _FETCH_CHUNK_BYTES)
-    step = -(-L // n_chunks)
-    parts = [np.asarray(arr[..., i : i + step]) for i in range(0, L, step)]
-    return np.concatenate(parts, axis=-1)
