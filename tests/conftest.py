@@ -22,6 +22,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# Persistent compilation cache: repeat suite runs skip recompiles.
+from demucs_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 
