@@ -47,6 +47,8 @@ class Separator:
         callback: tp.Optional[tp.Callable[[dict], None]] = None,
         callback_arg: tp.Optional[dict] = None,
         batch_size: int = 8,
+        engine: str = "auto",
+        transfer_dtype: tp.Optional[str] = "float16",
     ):
         """Load a model by name and hold separation parameters.
 
@@ -60,7 +62,8 @@ class Separator:
         self.update_parameter(
             device=device, shifts=shifts, overlap=overlap, split=split,
             segment=segment, jobs=jobs, progress=progress, callback=callback,
-            callback_arg=callback_arg, batch_size=batch_size,
+            callback_arg=callback_arg, batch_size=batch_size, engine=engine,
+            transfer_dtype=transfer_dtype,
         )
 
     def update_parameter(
@@ -75,6 +78,8 @@ class Separator:
         callback=NotProvided,
         callback_arg=NotProvided,
         batch_size=NotProvided,
+        engine=NotProvided,
+        transfer_dtype=NotProvided,
     ):
         """Update separation parameters (api.py:124-201)."""
         if not isinstance(device, _NotProvided):
@@ -97,6 +102,10 @@ class Separator:
             self._callback_arg = callback_arg
         if not isinstance(batch_size, _NotProvided):
             self._batch_size = batch_size
+        if not isinstance(engine, _NotProvided):
+            self._engine = engine
+        if not isinstance(transfer_dtype, _NotProvided):
+            self._transfer_dtype = transfer_dtype
 
     def _load_model(self):
         self._model = get_model(name=self._name, repo=self._repo)
@@ -139,6 +148,8 @@ class Separator:
             callback_arg=callback_arg,
             progress=self._progress,
             batch_size=self._batch_size,
+            engine=self._engine,
+            transfer_dtype=self._transfer_dtype,
         )
         out = out * (std + 1e-8) + mean
         wav = wav * (std + 1e-8) + mean

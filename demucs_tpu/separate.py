@@ -70,6 +70,13 @@ def get_parser() -> argparse.ArgumentParser:
                         help="Number of jobs (compatibility; see --batch-size).")
     parser.add_argument("--batch-size", default=8, type=int,
                         help="Segments per device batch (TPU throughput knob).")
+    parser.add_argument("--engine", default="auto", choices=["auto", "host", "device"],
+                        help="Separation engine: device = on-chip overlap-add "
+                        "with one fetch per track (fastest on TPU).")
+    parser.add_argument("--wire", default="float16",
+                        choices=["float32", "float16", "int16"],
+                        help="Wire format of the device engine's stems fetch "
+                        "(float16 default; float32 = bit-exact).")
     return parser
 
 
@@ -103,6 +110,8 @@ def main(opts=None):
             jobs=args.jobs,
             segment=args.segment,
             batch_size=args.batch_size,
+            engine=args.engine,
+            transfer_dtype=None if args.wire == "float32" else args.wire,
         )
     except ModelLoadingError as error:
         fatal(error.args[0])
