@@ -140,6 +140,9 @@ class TrainArgs:
 
     epochs: int = 360
     batch_size: int = 64
+    # Rematerialize the forward during backprop (jax.checkpoint): trades
+    # FLOPs for HBM, for long-segment fine-tuning (mmi_ft: segments 15-18 s).
+    remat: bool = False
     max_batches: tp.Optional[int] = None
     seed: int = 42
     debug: bool = False

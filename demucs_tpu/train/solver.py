@@ -143,9 +143,21 @@ class Solver:
         augment = self._augment
         optimizer = self.optimizer
 
+        fwd = forward
+        if args.remat:
+            import functools as _ft
+
+            fwd = jax.checkpoint(
+                _ft.partial(forward, cfg=model.cfg, train=True),
+                static_argnums=(),
+            )
+
         def loss_fn(params, sources, rng):
             mix = sources.sum(axis=1)
-            estimate = forward(params, mix, model.cfg, train=True, rng=rng)
+            if args.remat:
+                estimate = fwd(params, mix, rng=rng)
+            else:
+                estimate = forward(params, mix, model.cfg, train=True, rng=rng)
             assert estimate.shape == sources.shape, (estimate.shape, sources.shape)
             if args.optim.loss == "l1":
                 loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)

@@ -121,3 +121,13 @@ def test_xp_signature_stability():
     # same override -> same signature (Dora-style reproducibility)
     c = apply_overrides(TrainArgs(), {"optim.lr": 1e-4})
     assert xp_signature(b) == xp_signature(c)
+
+
+def test_remat_train_step(dataset_root, tmp_path):
+    """jax.checkpoint remat path produces finite losses (memory/FLOPs trade)."""
+    from demucs_tpu.train.train import get_solver
+
+    args = _make_args(dataset_root, tmp_path, epochs=1, remat=True)
+    solver = get_solver(args)
+    solver.train()
+    assert np.isfinite(solver.history[-1]["train"]["loss"])

@@ -1,0 +1,84 @@
+"""Training-step throughput bench: steps/s and audio-seconds/s trained.
+
+The counterpart of the reference's tools/bench.py fwd+bwd timing
+(bench.py:46-78). Runs the jitted train step (augment + forward + grads +
+optimizer + EMA math) on synthetic batches.
+
+Usage:
+    python tools/bench_train.py [--batch 8] [--segment 7.8] [--steps 5] [--remat]
+"""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--segment", type=float, default=7.8)
+    parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--channels", type=int, default=48)
+    args = parser.parse_args()
+
+    import jax
+
+    from demucs_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from demucs_tpu.models import htdemucs as ht
+    from demucs_tpu.models.registry import Model
+    from demucs_tpu.train.config import TrainArgs, apply_overrides
+    from demucs_tpu.train.solver import Solver, make_optimizer
+
+    cfg = ht.HTDemucsConfig(channels=args.channels, segment=args.segment)
+    params = ht.init_htdemucs(cfg, seed=0)
+    model = Model("htdemucs", cfg, params)
+    targs = apply_overrides(TrainArgs(), {
+        "remat": args.remat,
+        "ema.batch": (0.9995,),
+        "dset.shift": 0.5,
+    })
+    optimizer = make_optimizer(targs, model)
+    solver = Solver({}, model, optimizer, targs, folder="/tmp/bench_train_xp")
+    step = solver._train_step
+
+    B = args.batch
+    S, C = len(cfg.sources), cfg.audio_channels
+    T = cfg.training_length + int(targs.dset.samplerate * targs.dset.shift)
+    rng_np = np.random.default_rng(0)
+    sources = jax.device_put(
+        (rng_np.standard_normal((B, S, C, T)) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    p, o, m = step(model.params, solver.opt_state, sources, key)
+    _ = float(m["loss"])
+    print(f"# compile+first step: {time.time()-t0:.1f}s", file=_sys.stderr)
+
+    times = []
+    for i in range(args.steps):
+        key = jax.random.fold_in(key, i)
+        t0 = time.time()
+        p, o, m = step(p, o, sources, key)
+        _ = float(m["loss"])
+        times.append(time.time() - t0)
+    dt = min(times)
+    audio_s = B * args.segment
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_s",
+        "value": round(audio_s / dt, 3),
+        "unit": "audio_s/s",
+        "step_ms": round(dt * 1000, 1),
+        "remat": args.remat,
+    }))
+
+
+if __name__ == "__main__":
+    main()
