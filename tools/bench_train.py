@@ -44,6 +44,7 @@ def main():
         "remat": args.remat,
         "ema.batch": (0.9995,),
         "dset.shift": 0.5,
+        "augment.remix.group_size": min(4, args.batch),
     })
     optimizer = make_optimizer(targs, model)
     solver = Solver({}, model, optimizer, targs, folder="/tmp/bench_train_xp")
