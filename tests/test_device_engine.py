@@ -105,3 +105,13 @@ def test_length_bucketing(model):
     seg = int(model.segment * sr)
     np.testing.assert_allclose(bucketed[..., : L - seg], exact[..., : L - seg],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_short_track_single_segment(model):
+    """Track shorter than one segment: single centered chunk, exact parity."""
+    L = int(0.4 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=36)
+    want = apply_model(model, mix, shifts=0, split=True, overlap=0.25, engine="host")
+    got = device_apply_model(model, mix, shifts=0, overlap=0.25,
+                             transfer_dtype=None, input_transfer_dtype=None)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -131,3 +131,31 @@ def test_remat_train_step(dataset_root, tmp_path):
     solver = get_solver(args)
     solver.train()
     assert np.isfinite(solver.history[-1]["train"]["loss"])
+
+
+def test_export_tool(dataset_root, tmp_path, monkeypatch):
+    """tools/export.py: XP checkpoint -> release .dmx with checksum + pinned
+    segment, loadable for separation."""
+    import runpy
+    import sys
+
+    from demucs_tpu.train.train import get_solver
+    from demucs_tpu.train.config import xp_signature
+    from demucs_tpu.zoo.native import load_native_model
+
+    args = _make_args(dataset_root, tmp_path, epochs=1)
+    solver = get_solver(args)
+    solver.train()
+    sig = xp_signature(args)
+
+    out_dir = tmp_path / "release"
+    monkeypatch.setattr(sys, "argv", [
+        "export.py", sig, "--out", str(out_dir),
+        "--outdir", str(tmp_path / "outputs"),
+    ])
+    runpy.run_path("tools/export.py", run_name="__main__")
+    files = list(out_dir.glob(f"{sig}-*.dmx"))
+    assert len(files) == 1
+    released = load_native_model(files[0])
+    assert released.kind == "demucs"
+    assert released.cfg.segment == float(args.dset.segment)
