@@ -65,6 +65,9 @@ def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: 
     max_view = length + max_shift
     n_segments = int(math.ceil(max_view / stride))
     n_batches = int(math.ceil(n_segments / batch_size))
+    # Right-size the per-map batch so padding slots (wasted forwards) are
+    # minimal: e.g. 11 segments at batch 8 would run 16 slots; batch 6 runs 12.
+    batch_size = int(math.ceil(n_segments / n_batches))
     n_pad = n_batches * batch_size
     margin = target  # slack so every centered window stays in bounds
 
