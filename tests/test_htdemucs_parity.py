@@ -122,3 +122,25 @@ def test_init_shapes_match_reference():
     assert not extra, sorted(extra)[:10]
     mismatched = {k: (ours_shapes[k], theirs[k]) for k in theirs if ours_shapes[k] != theirs[k]}
     assert not mismatched, mismatched
+
+
+def test_six_source_parity():
+    """6-source variant (htdemucs_6s adds guitar+piano, README.md:36-37)."""
+    sources6 = SOURCES + ["guitar", "piano"]
+    ref = import_reference()
+    import torch as th
+
+    th.manual_seed(0)
+    kwargs = dict(channels=16, depth=4, nfft=2048, t_layers=2, t_heads=4,
+                  segment=0.5, samplerate=8000)
+    tmodel = ref.htdemucs.HTDemucs(sources6, **kwargs).eval()
+    params = torch_state_to_params(tmodel)
+    cfg = jht.HTDemucsConfig(sources=tuple(sources6), **kwargs)
+    L = cfg.training_length
+    mix = (np.random.default_rng(80).standard_normal((1, 2, L)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(mix)).numpy()
+    got = np.asarray(jax.jit(jht.forward, static_argnames=("cfg",))(params, mix, cfg))
+    assert got.shape == (1, 6, 2, L)
+    err = np.abs(got - want).max()
+    assert err < 2e-3 * max(np.abs(want).max(), 1.0), err
