@@ -159,3 +159,44 @@ def test_export_tool(dataset_root, tmp_path, monkeypatch):
     released = load_native_model(files[0])
     assert released.kind == "demucs"
     assert released.cfg.segment == float(args.dset.segment)
+
+
+def test_evaluate_pretrained_flow(dataset_root, tmp_path):
+    """tools/test_pretrained-style eval: local-repo model + MusdbHQ test dir
+    -> per-source nsdr + mean/median-of-medians aggregation keys
+    (evaluate.py:157-174)."""
+    from demucs_tpu.evaluate import evaluate
+    from demucs_tpu.models import demucs as m_d
+    from demucs_tpu.models.registry import Model
+    from demucs_tpu.train.config import TrainArgs, apply_overrides
+    from demucs_tpu.zoo.native import save_with_checksum
+    from demucs_tpu.zoo.repo import LocalRepo
+
+    cfg = m_d.DemucsConfig(sources=SOURCES, channels=4, depth=2, resample=False,
+                           dconv_mode=0, samplerate=SR, segment=2.0)
+    model = Model("demucs", cfg, m_d.init_demucs(cfg))
+    repo_dir = tmp_path / "repo"
+    repo_dir.mkdir()
+    path = save_with_checksum(model, repo_dir / "tinysig.dmx")
+    loaded = LocalRepo(repo_dir).get_model("tinysig")
+
+    targs = apply_overrides(TrainArgs(), {
+        "dset.musdb": str(dataset_root),
+        "test.shifts": 0,
+        "test.workers": 0,
+        "misc.num_workers": 0,
+    })
+
+    class _Shim:
+        pass
+
+    solver = _Shim()
+    solver.args = targs
+    solver.model = loaded
+    solver.folder = tmp_path / "evalout"
+    result = evaluate(solver, compute_sdr=False)
+    for source in SOURCES:
+        assert f"nsdr_{source}" in result
+        assert f"nsdr_med_{source}" in result
+    assert "nsdr" in result and "nsdr_med" in result
+    assert np.isfinite(result["nsdr"])
