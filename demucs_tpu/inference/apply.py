@@ -177,6 +177,13 @@ def apply_model(
     accelerator backends when semantics allow (split mode, single track, no
     per-chunk callback, HTDemucs-family uniform padding targets).
     ``transfer_dtype`` applies to the device engine's single final fetch.
+
+    Non-HT kinds (hdemucs/demucs) are supported by the device engine as an
+    explicit opt-in (``engine="device"``): every chunk runs at the uniform
+    ``valid_length(segment_length)`` target, so trailing partial chunks see
+    slightly more real context than the reference's per-tail-length padding
+    (apply.py:302-309). Full chunks are numerically identical, which is why
+    "auto" stays HTDemucs-only.
     """
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -184,19 +191,24 @@ def apply_model(
         mix_arr = mix if isinstance(mix, np.ndarray) else None
         kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
                  else [model.kind])
-        eligible = (
+        base_ok = (
             split
             and callback is None
             and mix_arr is not None
             and mix_arr.ndim == 3
             and mix_arr.shape[0] == 1
-            and all(k == "htdemucs" for k in kinds)
         )
+        # Auto-selection requires exact reference numerics: HTDemucs pads every
+        # chunk to its trained segment so the uniform device-side target is
+        # identical; other kinds deviate on tail chunks (see docstring).
+        eligible = base_ok and all(k == "htdemucs" for k in kinds)
+        device_ok = base_ok and all(
+            k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
         if engine == "device" or (eligible and _accelerator_backend()):
-            if not eligible:
+            if not device_ok:
                 raise ValueError(
                     "engine='device' requires split mode, a single (1, C, L) "
-                    "track, no callback, and HTDemucs models"
+                    "track, no callback, and htdemucs/hdemucs/demucs models"
                 )
             from demucs_tpu.inference.engine import device_apply_model
 

@@ -47,11 +47,10 @@ def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndar
 _ACTIVE_MESH: tp.Optional["jax.sharding.Mesh"] = None
 
 
-@functools.lru_cache(maxsize=32)
-def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: int,
-                   target: int, stride: int, batch_size: int, transition_power: float,
-                   n_sources: int, audio_channels: int, n_devices: int = 1):
-    """One compiled (model, shift)-pass over a track of static ``length``.
+def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length: int,
+                    target: int, stride: int, batch_size: int, transition_power: float,
+                    n_sources: int, audio_channels: int, n_devices: int = 1):
+    """Unjitted (model, shift)-pass over a track of static ``length``.
 
     Dynamic inputs: params, padded track buffer, shift offset, accumulator and
     per-source scale. Returns the updated accumulator.
@@ -144,7 +143,57 @@ def _build_pass_fn(kind: str, cfg, length: int, max_shift: int, segment_length: 
         )
         return accum + scale[:, None, None] * res
 
-    return jax.jit(pass_fn, donate_argnums=(3,))
+    return pass_fn
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pass_fn(*args):
+    return jax.jit(_make_pass_body(*args), donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=8)
+def _build_bag_pass_fn(kind: str, cfg, length: int, max_shift: int,
+                       segment_length: int, target: int, stride: int,
+                       batch_size: int, transition_power: float, n_sources: int,
+                       audio_channels: int, n_models: int, mesh):
+    """Fan a homogeneous bag out across the mesh: one vmapped pass with the
+    model axis as the batch dim. Inputs stacked per model (params, shift
+    offset, per-source scale) arrive sharded over the ``model`` mesh axis, so
+    XLA runs each member on its own device group and all-reduces the summed
+    stems over ICI — the reference runs bag members *sequentially*
+    (apply.py:208-224); this is the embarrassingly-parallel TPU win called out
+    in SURVEY.md §2.10."""
+    body = _make_pass_body(kind, cfg, length, max_shift, segment_length, target,
+                           stride, batch_size, transition_power, n_sources,
+                           audio_channels, 1)
+    zero = functools.partial(jnp.zeros, (n_sources, audio_channels, length),
+                             jnp.float32)
+
+    # shard_map (not vmap + sharded inputs): each device group runs its
+    # member's pass as plain local code — bit-identical to the sequential
+    # engine — and only the final stem sum crosses groups (one all-reduce).
+    # The SPMD partitioner pushed through the vmapped scan/scatter body loses
+    # precision on some backends, so manual placement is also the safe choice.
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def bag_pass(stacked_params, track_buf, offsets, accum, scales):
+        """stacked_params: pytree with leading model axis (M,...). offsets:
+        (M,) int32. scales: (M, S). accum: (S, C, length)."""
+
+        def local(track_l, params_l, offsets_l, scales_l):
+            p = jax.tree.map(lambda x: x[0], params_l)
+            out = body(p, track_l, offsets_l[0], zero(), scales_l[0])
+            return out[None]
+
+        per = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("model"), P("model"), P("model")),
+            out_specs=P("model"), check_vma=False,
+        )(track_buf, stacked_params, offsets, scales)
+        return accum + per.sum(axis=0)
+
+    return jax.jit(bag_pass, donate_argnums=(3,))
 
 
 _FETCH_CHUNK_BYTES = 12 * 2**20
@@ -247,6 +296,24 @@ def device_apply_model(
 
     totals = np.zeros(n_sources)
 
+    # Homogeneous bag on a multi-device mesh: fan members out across the mesh
+    # (one device group per model) instead of the reference's sequential loop.
+    fan_out = (
+        mesh is not None
+        and len(models) > 1
+        and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
+        and mesh.devices.size % len(models) == 0
+    )
+    if fan_out:
+        accum, totals = _bag_fanout_passes(
+            models, weights, mix, mesh, shifts=shifts, overlap=overlap,
+            transition_power=transition_power, segment=segment,
+            batch_size=batch_size, rng=rng,
+            input_transfer_dtype=input_transfer_dtype, max_shift=max_shift,
+        )
+        return _fetch_stems(accum, totals, transfer_dtype, n_sources, C, L,
+                            orig_length)
+
     accum = None
     track_dev = {}
 
@@ -291,6 +358,14 @@ def device_apply_model(
                             jnp.int32(offset), accum, scale)
         totals += np.asarray(model_weights, np.float64)
 
+    return _fetch_stems(accum, totals, transfer_dtype, n_sources, C, L,
+                        orig_length)
+
+
+def _fetch_stems(accum, totals, transfer_dtype, n_sources: int, C: int, L: int,
+                 orig_length: int) -> np.ndarray:
+    """Normalize by the per-source weight totals and fetch in chunked wire
+    format (the single device->host transfer of the whole engine)."""
     item_bytes = n_sources * C * (
         2 if transfer_dtype in ("float16", "int16") else 4)
     final = _final_fn(transfer_dtype, L, item_bytes)
@@ -303,3 +378,59 @@ def device_apply_model(
         out = np.concatenate([np.asarray(p) for p in result], axis=-1)
         out = out.astype(np.float32)
     return out[None][..., :orig_length]
+
+
+def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
+                       transition_power, segment, batch_size, rng,
+                       input_transfer_dtype, max_shift):
+    """Run every bag member concurrently: stack params along a ``model`` axis
+    sharded over the mesh, vmap the per-model pass, sum the stems (an XLA
+    all-reduce over ICI). Shift offsets are drawn in the same model-major
+    order as the sequential path (reference apply.py:208-224 semantics)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    first = models[0]
+    n_models = len(models)
+    n_sources = len(first.sources)
+    C = first.audio_channels
+    L = mix.shape[-1]
+    samplerate = first.samplerate
+
+    seg_f = segment if segment is not None else first.segment
+    segment_length = int(samplerate * seg_f)
+    stride = int((1 - overlap) * segment_length)
+    target = first.valid_length(segment_length)
+    margin = target
+
+    mesh2 = Mesh(mesh.devices.reshape(n_models, -1), ("model", "dp"))
+    by_model = NamedSharding(mesh2, P("model"))
+    repl = NamedSharding(mesh2, P())
+
+    wire = mix[0]
+    if input_transfer_dtype == "float16":
+        wire = wire.astype(np.float16)
+    track_buf = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire, repl))
+
+    stacked = jax.device_put(
+        jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                     *[m.params for m in models]),
+        by_model,
+    )
+
+    n_shift_passes = max(1, shifts)
+    # model-major draw order == the sequential engine / host engine
+    offs = np.array(
+        [[rng.randint(0, max_shift) if shifts else 0
+          for _ in range(n_shift_passes)] for _ in models], np.int32)
+    scales = jax.device_put(
+        np.asarray(weights, np.float32) / n_shift_passes, by_model)
+
+    pass_fn = _build_bag_pass_fn(
+        first.kind, first.cfg, L, max_shift, segment_length, target, stride,
+        batch_size, transition_power, n_sources, C, n_models, mesh2)
+    accum = jax.device_put(np.zeros((n_sources, C, L), np.float32), repl)
+    for s in range(n_shift_passes):
+        accum = pass_fn(stacked, track_buf, jax.device_put(offs[:, s], by_model),
+                        accum, scales)
+    totals = np.asarray(weights, np.float64).sum(axis=0)
+    return accum, totals

@@ -115,3 +115,52 @@ def test_short_track_single_segment(model):
     got = device_apply_model(model, mix, shifts=0, overlap=0.25,
                              transfer_dtype=None, input_transfer_dtype=None)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["hdemucs", "demucs"])
+def test_device_engine_non_ht_optin(kind):
+    """hdemucs/demucs via the device engine (explicit opt-in): full chunks are
+    numerically identical to the host engine; only trailing partial chunks
+    deviate (uniform valid_length(segment) target gives them more real
+    context — documented in apply_model)."""
+    from common import SOURCES
+
+    if kind == "hdemucs":
+        from demucs_tpu.models import hdemucs as m
+
+        cfg = m.HDemucsConfig(sources=tuple(SOURCES), channels=4, samplerate=8000)
+        params = m.init_hdemucs(cfg, seed=11)
+    else:
+        from demucs_tpu.models import demucs as m
+
+        cfg = m.DemucsConfig(sources=tuple(SOURCES), channels=4, depth=3,
+                             samplerate=8000)
+        params = m.init_demucs(cfg, seed=11)
+    mdl = Model(kind, cfg, params)
+
+    segment = 0.4
+    segment_length = int(segment * cfg.samplerate)
+    stride = int(0.75 * segment_length)
+    L = int(1.8 * segment_length)
+    offsets = list(range(0, L, stride))
+    partials = [o for o in offsets if L - o < segment_length]
+    assert partials, "test must exercise the tail-chunk deviation path"
+    clean = min(partials)
+
+    mix = random_mix((1, 2, L), seed=40)
+    want = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
+                       segment=segment, engine="host")
+    got = device_apply_model(mdl, mix, shifts=0, overlap=0.25, segment=segment,
+                             transfer_dtype=None, input_transfer_dtype=None)
+    assert got.shape == want.shape
+    # Region covered only by full chunks: bit-for-bit (float32) parity.
+    np.testing.assert_allclose(got[..., :clean], want[..., :clean],
+                               atol=2e-5, rtol=1e-4)
+    # Tail region: same overlap-add weights, slightly different chunk context.
+    scale = max(np.abs(want).max(), 1e-3)
+    assert np.abs(got - want).max() < 0.35 * scale
+
+    # And through the public apply_model opt-in (fp16 wire defaults).
+    via_apply = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
+                            segment=segment, engine="device")
+    assert np.abs(via_apply - got).max() < 3e-3 * scale

@@ -21,3 +21,60 @@ def test_sharded_matches_single(cpu_devices):
     sharded = sharded_apply_model(model, mix, mesh=mesh, shifts=0, transfer_dtype=None, input_transfer_dtype=None)
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, atol=5e-5, rtol=1e-4)
+
+
+class _FixedOffsets:
+    def __init__(self, values):
+        self.values = list(values)
+
+    def randint(self, a, b):
+        v = self.values.pop(0)
+        assert a <= v <= b
+        return v
+
+
+def test_bag_fanout_matches_sequential(cpu_devices):
+    """Homogeneous bag fanned out over the mesh ('model' axis) == sequential
+    device engine (the reference runs bag members one after another;
+    SURVEY.md §2.10 calls the fan-out the TPU win)."""
+    from demucs_tpu.models.registry import BagOfModels
+
+    _, cfg, params = make_htdemucs_pair()
+    _, _, params2 = make_htdemucs_pair(seed=7)
+    weights = [[1.0, 2.0, 1.0, 0.5], [0.5, 1.0, 1.0, 1.0]]
+    bag = BagOfModels([Model("htdemucs", cfg, params),
+                       Model("htdemucs", cfg, params2)], weights=weights)
+
+    L = int(1.6 * bag.models[0].segment * bag.models[0].samplerate)
+    mix = random_mix((1, 2, L), seed=41)
+
+    sequential = device_apply_model(bag, mix, shifts=0, transfer_dtype=None,
+                                    input_transfer_dtype=None)
+    mesh = make_mesh(8, platform="cpu")
+    fanned = device_apply_model(bag, mix, mesh=mesh, shifts=0,
+                                transfer_dtype=None, input_transfer_dtype=None)
+    assert fanned.shape == sequential.shape
+    np.testing.assert_allclose(fanned, sequential, atol=5e-5, rtol=1e-4)
+
+
+def test_bag_fanout_shifts_offset_order(cpu_devices):
+    """Shift offsets are drawn model-major, matching the sequential engine."""
+    from demucs_tpu.models.registry import BagOfModels
+
+    _, cfg, params = make_htdemucs_pair()
+    _, _, params2 = make_htdemucs_pair(seed=7)
+    bag = BagOfModels([Model("htdemucs", cfg, params),
+                       Model("htdemucs", cfg, params2)])
+
+    L = int(1.2 * bag.models[0].segment * bag.models[0].samplerate)
+    mix = random_mix((1, 2, L), seed=42)
+    offsets = [777, 2025, 31, 1500]
+
+    sequential = device_apply_model(bag, mix, shifts=2, transfer_dtype=None,
+                                    input_transfer_dtype=None,
+                                    rng=_FixedOffsets(offsets))
+    mesh = make_mesh(8, platform="cpu")
+    fanned = device_apply_model(bag, mix, mesh=mesh, shifts=2,
+                                transfer_dtype=None, input_transfer_dtype=None,
+                                rng=_FixedOffsets(offsets))
+    np.testing.assert_allclose(fanned, sequential, atol=5e-5, rtol=1e-4)
