@@ -21,7 +21,7 @@ from pathlib import Path
 import numpy as np
 
 from demucs_tpu import audio as dta
-from demucs_tpu.inference.apply import apply_model
+from demucs_tpu.inference.apply import apply_model_tracks
 from demucs_tpu.train import distrib
 
 logger = logging.getLogger(__name__)
@@ -94,19 +94,33 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
     pendings = []
     tracks: tp.Dict[str, dict] = {}
 
-    def _process(index):
-        name, track_dir = track_list[index]
-        mix, sr = dta.read_wav(track_dir / "mixture.wav")
-        ref = mix.mean(axis=0)
-        mean, std = ref.mean(), ref.std()
-        mix = (mix - mean) / std
-        mix = dta.convert_audio(mix, sr, model.samplerate, model.audio_channels)
-        estimates = apply_model(
-            model, mix[None],
-            shifts=args.test.shifts, split=args.test.split,
-            overlap=args.test.overlap,
-        )[0]
-        estimates = estimates * std + mean
+    # Tracks stream through the pipelined engine (apply_model_tracks): track
+    # i's stems fetch overlaps track i+1's compute. ``meta`` is filled by the
+    # mix generator one track ahead of the yielded estimates (pipeline depth
+    # is 1), so meta[i] is always present when estimate i arrives.
+    meta: tp.List[tuple] = []
+
+    def _mixes():
+        for index in indexes:
+            name, track_dir = track_list[index]
+            mix, sr = dta.read_wav(track_dir / "mixture.wav")
+            ref = mix.mean(axis=0)
+            mean, std = ref.mean(), ref.std()
+            mix = (mix - mean) / std
+            mix = dta.convert_audio(mix, sr, model.samplerate, model.audio_channels)
+            meta.append((name, track_dir, mean, std))
+            yield mix[None]
+
+    est_iter = apply_model_tracks(
+        model, _mixes(),
+        shifts=args.test.shifts, split=args.test.split,
+        overlap=args.test.overlap,
+        length_bucket_seconds=args.test.length_bucket_seconds,
+    )
+
+    def _finish(i, estimates):
+        name, track_dir, mean, std = meta[i]
+        estimates = estimates[0] * std + mean
 
         refs = []
         for source in model.sources:
@@ -122,8 +136,8 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
 
     if pool_cls is not None:
         with pool_cls(args.test.workers) as pool:
-            for index in indexes:
-                name, references, estimates = _process(index)
+            for i, est in enumerate(est_iter):
+                name, references, estimates = _finish(i, est)
                 pendings.append((name, pool.submit(
                     eval_track, references, estimates, win=win, hop=hop,
                     compute_sdr=compute_sdr)))
@@ -131,8 +145,8 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
                 scores, nsdrs = pending.result()
                 tracks[name] = _scores_dict(model.sources, scores, nsdrs)
     else:
-        for index in indexes:
-            name, references, estimates = _process(index)
+        for i, est in enumerate(est_iter):
+            name, references, estimates = _finish(i, est)
             scores, nsdrs = eval_track(references, estimates, win=win, hop=hop,
                                        compute_sdr=compute_sdr)
             tracks[name] = _scores_dict(model.sources, scores, nsdrs)

@@ -351,3 +351,56 @@ def apply_model(
     if callback is not None:
         callback(dict(callback_arg, state="end"))
     return res
+
+
+def apply_model_tracks(
+    model: AnyModel,
+    tracks: tp.Iterable[np.ndarray],
+    *,
+    shifts: int = 1,
+    split: bool = True,
+    overlap: float = 0.25,
+    transition_power: float = 1.0,
+    progress: bool = False,
+    segment: tp.Optional[float] = None,
+    rng: tp.Optional[_random.Random] = None,
+    batch_size: int = 8,
+    engine: str = "auto",
+    transfer_dtype: tp.Optional[str] = "float16",
+    length_bucket_seconds: tp.Optional[float] = None,
+) -> tp.Iterator[np.ndarray]:
+    """Pipelined multi-track ``apply_model``: yields ``(1, S, C, L)`` stems per
+    input track ``(1, C, L)``, in order.
+
+    On the device engine, each track's device->host stems fetch overlaps the
+    next track's compute (the reference separates tracks strictly serially;
+    on this deployment's slow host link the fetch is a large fixed cost —
+    see demucs_tpu.inference.engine.device_separate_tracks). Falls back to
+    per-track ``apply_model`` when the device engine isn't eligible. Set
+    ``length_bucket_seconds`` so variable-length tracks share executables.
+    """
+    kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
+             else [model.kind])
+    auto_ok = split and all(k == "htdemucs" for k in kinds)
+    device_ok = split and all(k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
+    use_device = engine == "device" or (
+        engine == "auto" and auto_ok and _accelerator_backend())
+    if use_device:
+        if not device_ok:
+            raise ValueError(
+                "engine='device' requires split mode and htdemucs/hdemucs/"
+                "demucs models")
+        from demucs_tpu.inference.engine import device_separate_tracks
+
+        yield from device_separate_tracks(
+            model, tracks, shifts=shifts, overlap=overlap,
+            transition_power=transition_power, segment=segment,
+            batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
+            progress=progress, length_bucket_seconds=length_bucket_seconds)
+        return
+    for mix in tracks:
+        yield apply_model(
+            model, mix, shifts=shifts, split=split, overlap=overlap,
+            transition_power=transition_power, progress=progress,
+            segment=segment, rng=rng, batch_size=batch_size, engine=engine,
+            transfer_dtype=transfer_dtype)

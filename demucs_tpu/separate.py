@@ -143,6 +143,7 @@ def main(opts=None):
     out = args.out / name
     out.mkdir(parents=True, exist_ok=True)
     print(f"Separated tracks will be stored in {out.resolve()}")
+    valid_tracks = []
     for track in args.tracks:
         if not track.exists():
             print(
@@ -151,9 +152,11 @@ def main(opts=None):
                 file=sys.stderr,
             )
             continue
+        valid_tracks.append(track)
+    # Pipelined: on the device engine, track i's stems fetch (and stem
+    # writes) overlap track i+1's compute.
+    for track, origin, res in separator.separate_audio_files(valid_tracks):
         print(f"Separating track {track}")
-
-        origin, res = separator.separate_audio_file(track)
 
         ext = "mp3" if args.mp3 else ("flac" if args.flac else "wav")
         kwargs = {

@@ -49,6 +49,10 @@ class TestConfig:
     overlap: float = 0.25
     sdr: bool = True
     metric: str = "loss"
+    # Quantize track lengths on the device engine so variable-length test
+    # tracks share compiled executables (deviation confined to the final
+    # chunk; see device_apply_model). None = exact lengths.
+    length_bucket_seconds: tp.Optional[float] = None
 
 
 @dataclasses.dataclass

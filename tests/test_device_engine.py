@@ -164,3 +164,20 @@ def test_device_engine_non_ht_optin(kind):
     via_apply = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
                             segment=segment, engine="device")
     assert np.abs(via_apply - got).max() < 3e-3 * scale
+
+
+def test_pipelined_tracks_match_single(model):
+    """device_separate_tracks (fetch of track i overlapped with compute of
+    track i+1) is bit-identical to per-track device_apply_model."""
+    from demucs_tpu.inference.engine import device_separate_tracks
+
+    L = int(1.3 * model.segment * model.samplerate)
+    tracks = [random_mix((1, 2, L), seed=s) for s in (60, 61, 62)]
+    singles = [device_apply_model(model, t, shifts=0, transfer_dtype=None,
+                                  input_transfer_dtype=None) for t in tracks]
+    piped = list(device_separate_tracks(model, tracks, shifts=0,
+                                        transfer_dtype=None,
+                                        input_transfer_dtype=None))
+    assert len(piped) == len(singles)
+    for got, want in zip(piped, singles):
+        np.testing.assert_array_equal(got, want)
