@@ -36,6 +36,10 @@ def main():
                         help="wire format of the per-track stems fetch "
                         "(int16 == the CLI's default PCM16 output quantization)")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--tracks", type=int, default=1,
+                        help="N>1: sustained multi-track throughput via the "
+                        "pipelined engine (fetch of track i overlaps compute "
+                        "of track i+1)")
     parser.add_argument("--flash", action="store_true",
                         help="use the Pallas flash-attention kernel")
     parser.add_argument("--profile", metavar="DIR", default=None,
@@ -73,9 +77,25 @@ def main():
         transfer_dtype=None if args.transfer == "float32" else args.transfer,
     )
 
+    if args.tracks > 1:
+        from demucs_tpu.inference.apply import apply_model_tracks
+
+        tracks = [mix] + [
+            (np.random.default_rng(i + 1).standard_normal((1, 2, L)) * 0.1
+             ).astype(np.float32)
+            for i in range(args.tracks - 1)
+        ]
+
+        def run():
+            outs = list(apply_model_tracks(model, tracks, **kw))
+            return outs[-1]
+    else:
+        def run():
+            return apply_model(model, mix, **kw)
+
     # Warmup / compile on the SAME track length (one executable).
     t0 = time.time()
-    out = apply_model(model, mix, **kw)
+    out = run()
     warm = time.time() - t0
 
     times = []
@@ -87,7 +107,7 @@ def main():
                 print(f"# profiler unavailable: {exc}", file=sys.stderr)
                 args.profile = None
         t0 = time.time()
-        out = apply_model(model, mix, **kw)
+        out = run()
         times.append(time.time() - t0)
         if args.profile and i == args.repeats - 1:
             jax.profiler.stop_trace()
@@ -96,15 +116,15 @@ def main():
     # The TPU link on this deployment is shared infrastructure with large
     # transient slowdowns; if the measured rate is far below the known-good
     # regime, take a short pause and re-sample before reporting.
-    if args.seconds / min(times) < 20 and args.repeats > 1:
+    if args.tracks * args.seconds / min(times) < 20 and args.repeats > 1:
         time.sleep(20)
         for _ in range(args.repeats):
             t0 = time.time()
-            out = apply_model(model, mix, **kw)
+            out = run()
             times.append(time.time() - t0)
 
     elapsed = min(times)
-    asps = args.seconds / elapsed
+    asps = args.tracks * args.seconds / elapsed
     print(
         f"# warmup {warm:.1f}s, runs {[f'{t:.2f}' for t in times]}, "
         f"device={jax.devices()[0].device_kind}",

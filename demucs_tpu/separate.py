@@ -73,10 +73,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--engine", default="auto", choices=["auto", "host", "device"],
                         help="Separation engine: device = on-chip overlap-add "
                         "with one fetch per track (fastest on TPU).")
-    parser.add_argument("--wire", default="float16",
-                        choices=["float32", "float16", "int16"],
-                        help="Wire format of the device engine's stems fetch "
-                        "(float16 default; float32 = bit-exact).")
+    parser.add_argument("--wire", default="auto",
+                        choices=["auto", "float32", "float16", "int16"],
+                        help="Wire format of the device engine's stems fetch. "
+                        "auto = int16 when writing 16-bit PCM wav (same bytes "
+                        "as float16 but peak-scaled: wire error stays below "
+                        "the output format's own quantization, where float16 "
+                        "is ~16 PCM LSBs near peak), else float16; "
+                        "float32 = bit-exact.")
     return parser
 
 
@@ -98,6 +102,13 @@ def main(opts=None):
         sys.exit(1)
 
     name = args.sig if getattr(args, "sig", None) else args.name
+    wire = args.wire
+    if wire == "auto":
+        # 16-bit PCM wav output: the int16 wire (per-source peak-scaled, same
+        # bytes as float16) keeps wire error below the output format's own
+        # quantization; float16's relative step is ~16 PCM LSBs near peak.
+        pcm16_out = not (args.float32 or args.int24 or args.mp3 or args.flac)
+        wire = "int16" if pcm16_out else "float16"
     try:
         separator = Separator(
             model=name,
@@ -111,7 +122,7 @@ def main(opts=None):
             segment=args.segment,
             batch_size=args.batch_size,
             engine=args.engine,
-            transfer_dtype=None if args.wire == "float32" else args.wire,
+            transfer_dtype=None if wire == "float32" else wire,
         )
     except ModelLoadingError as error:
         fatal(error.args[0])

@@ -53,13 +53,12 @@ def main():
         _ = float(jnp.sum(accum2[..., :8]))
         print(f"pass steady: {time.time()-t0:.2f} s")
 
-    fin = eng._final_fn("float16")
-    t0 = time.time()
-    out = np.asarray(fin(accum2, jnp.ones(4, jnp.float32)))
-    print(f"final fetch fp16 ({out.nbytes/2**20:.0f} MB): {time.time()-t0:.2f} s")
-    t0 = time.time()
-    out32 = np.asarray(eng._final_fn(None)(accum2, jnp.ones(4, jnp.float32)))
-    print(f"final fetch fp32 ({out32.nbytes/2**20:.0f} MB): {time.time()-t0:.2f} s")
+    for wire, item in (("float16", 16), ("int16", 16), (None, 32)):
+        fin = eng._final_fn(wire, L, 4 * 2 * (item // 8))
+        t0 = time.time()
+        out = eng._gather_stems(fin(accum2, jnp.ones(4, jnp.float32)), wire, L)
+        print(f"final fetch {wire or 'float32'} "
+              f"({4*2*L*(item//8)/2**20:.0f} MB wire): {time.time()-t0:.2f} s")
 
 
 if __name__ == "__main__":
