@@ -1,0 +1,126 @@
+"""Native time-stretch / pitch-shift (host-side numpy).
+
+The reference delegates tempo/pitch augmentation to the ``soundstretch``
+binary (SoundTouch; demucs/repitch.py:59-86). This module provides a
+dependency-free fallback with the same parameterization so the repitch
+augment and the automix tool work without external binaries:
+
+- ``time_stretch``: WSOLA (waveform-similarity overlap-add) — the same
+  algorithm family as SoundTouch: output frames are copied from
+  waveform-aligned source positions and cross-faded, so transients and
+  stereo image survive (no phase-vocoder smearing).
+- ``resample``: Kaiser-windowed-sinc interpolation at an arbitrary
+  (irrational) ratio — pitch shifting needs ``2**(semitones/12)``.
+- ``repitch_native``: soundstretch-equivalent parameterization
+  (``-pitch=semitones -tempo=percent``): output duration is
+  ``T / (1 + tempo/100)`` and pitch moves by ``semitones``.
+
+Augmentation-grade DSP: not bit-comparable to SoundTouch, but time-aligned
+and energy-preserving — see tests/test_timestretch.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["time_stretch", "resample", "repitch_native"]
+
+
+def time_stretch(wav: np.ndarray, rate: float, frame: int = 2048,
+                 overlap: int = 512, search: int = 512) -> np.ndarray:
+    """Stretch ``(C, T)`` audio to duration ``round(T / rate)`` (rate>1 =
+    faster/shorter) with WSOLA.
+
+    Each output frame is taken from its nominal source position ``i*hop*rate``
+    plus a small offset (±``search``) chosen to maximize cross-correlation
+    with the already-written output tail, then cross-faded over ``overlap``
+    samples. The offset search runs on the mono mix and is applied to all
+    channels, preserving the stereo image.
+    """
+    assert wav.ndim == 2, wav.shape
+    C, T = wav.shape
+    out_len = int(round(T / rate))
+    if abs(rate - 1.0) < 1e-9 or T <= frame + 2 * search:
+        out = wav[:, :out_len]
+        if out.shape[-1] < out_len:
+            out = np.pad(out, [(0, 0), (0, out_len - out.shape[-1])])
+        return out.copy()
+
+    hop = frame - overlap
+    x = wav.astype(np.float64)
+    mono = x.mean(axis=0)
+    out = np.zeros((C, out_len + frame), dtype=np.float64)
+    fade_in = np.linspace(0.0, 1.0, overlap, endpoint=False)
+    fade_out = 1.0 - fade_in
+
+    # First frame: copy verbatim from the start.
+    out[:, :frame] = x[:, :frame]
+    pos_out = hop
+    while pos_out < out_len:
+        nominal = int(round(pos_out * rate))
+        lo = max(0, min(nominal - search, T - frame))
+        hi = max(lo, min(nominal + search, T - frame))
+        # match the output tail (what the new frame's overlap region must
+        # continue) against candidate source windows
+        tail = out[:, pos_out : pos_out + overlap].mean(axis=0)
+        n_cand = hi - lo + 1
+        if n_cand > 1 and float(np.abs(tail).max()) > 0:
+            idx = lo + np.arange(n_cand)[:, None] + np.arange(overlap)[None, :]
+            cands = mono[idx]  # (n_cand, overlap)
+            norm = np.sqrt((cands * cands).sum(axis=1)) + 1e-12
+            best = int(np.argmax(cands @ tail / norm))
+            src = lo + best
+        else:
+            src = min(nominal, T - frame)
+        piece = x[:, src : src + frame]
+        out[:, pos_out : pos_out + overlap] = (
+            out[:, pos_out : pos_out + overlap] * fade_out + piece[:, :overlap] * fade_in
+        )
+        out[:, pos_out + overlap : pos_out + frame] = piece[:, overlap:]
+        pos_out += hop
+    return out[:, :out_len].astype(wav.dtype)
+
+
+def resample(wav: np.ndarray, ratio: float, taps: int = 32) -> np.ndarray:
+    """Resample ``(C, T)`` by an arbitrary ``ratio`` (out rate / in rate)
+    with a Kaiser-windowed-sinc interpolator; output length ``round(T*ratio)``."""
+    assert wav.ndim == 2, wav.shape
+    C, T = wav.shape
+    out_len = int(round(T * ratio))
+    pos = np.arange(out_len) / ratio  # fractional source positions
+    base = np.floor(pos).astype(int)
+    frac = pos - base
+    half = taps // 2
+    cutoff = min(1.0, ratio)  # anti-alias when downsampling
+    k = np.arange(-half + 1, half + 1)  # (taps,)
+    t = k[None, :] - frac[:, None]  # (out_len, taps)
+    beta = 8.0
+    xw = np.clip(t / half, -1.0, 1.0)
+    win = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - xw * xw))) / np.i0(beta)
+    kernel = cutoff * np.sinc(cutoff * t) * win
+    kernel /= np.maximum(kernel.sum(axis=1, keepdims=True), 1e-12)
+    src = np.pad(wav, [(0, 0), (half, half + 1)], mode="edge")
+    idx = base[:, None] + k[None, :] + half  # into padded source
+    return np.einsum("ot,cot->co", kernel, src[:, idx]).astype(wav.dtype)
+
+
+def repitch_native(wav: np.ndarray, pitch: float, tempo: float,
+                   samplerate: int = 44100) -> np.ndarray:
+    """soundstretch-parameterized repitch (repitch.py:59-86 semantics):
+    ``pitch`` in semitones, ``tempo`` in percent; output length is
+    ``T / (1 + tempo/100)``; ``samplerate`` is unchanged."""
+    del samplerate  # parameterization is rate-free
+    C, T = wav.shape
+    k = 2.0 ** (pitch / 12.0)
+    tempo_factor = 1.0 + tempo / 100.0
+    if abs(pitch) < 1e-9 and abs(tempo) < 1e-9:
+        return wav.copy()
+    # stretch so that after the pitch resample the duration is T/tempo_factor
+    stretch_rate = tempo_factor / k
+    y = time_stretch(wav, stretch_rate) if abs(stretch_rate - 1) > 1e-9 else wav
+    if abs(k - 1) > 1e-9:
+        y = resample(y, 1.0 / k)
+    want = int(round(T / tempo_factor))
+    if y.shape[-1] < want:
+        y = np.pad(y, [(0, 0), (0, want - y.shape[-1])])
+    return y[:, :want]

@@ -1,12 +1,15 @@
-"""CPU-side repitch/tempo augmentation via the ``soundstretch`` binary.
+"""CPU-side repitch/tempo augmentation.
 
 Behavioral reference: ``demucs/repitch.py`` — with probability ``proba``,
 random pitch in ±2 semitones (±`max_pitch`) and tempo change N(0,5)% clamped
 to ±``max_tempo``%; vocals processed with ``-speech``; all outputs cropped to
 ``(1 - 0.01 * max_tempo)`` of the input so batch shapes stay static.
 
-Gated on the soundstretch binary being installed (SoundTouch). When absent the
-wrapper degrades to pass-through cropping so training still runs.
+Backends: the ``soundstretch`` binary (SoundTouch, as the reference) when
+installed, otherwise the native WSOLA implementation
+(demucs_tpu.ops.timestretch) — same ``-pitch``/``-tempo`` parameterization,
+no external dependency. The ``-speech`` nuance (transient detection tuning)
+has no native equivalent and is ignored by the native backend.
 """
 
 from __future__ import annotations
@@ -27,8 +30,21 @@ def soundstretch_available() -> bool:
 
 
 def repitch(wav: np.ndarray, pitch: float, tempo: float, voice: bool = False,
-            quick: bool = False, samplerate: int = 44100) -> np.ndarray:
-    """Run soundstretch on ``(C, T)`` float32 audio (repitch.py:59-86)."""
+            quick: bool = False, samplerate: int = 44100,
+            backend: str = "auto") -> np.ndarray:
+    """Repitch ``(C, T)`` float32 audio (repitch.py:59-86 parameterization).
+
+    ``backend``: "soundstretch" (the reference binary), "native" (WSOLA,
+    demucs_tpu.ops.timestretch), or "auto" = soundstretch when installed.
+    """
+    if backend not in ("auto", "soundstretch", "native"):
+        raise ValueError(backend)
+    if backend == "auto":
+        backend = "soundstretch" if soundstretch_available() else "native"
+    if backend == "native":
+        from demucs_tpu.ops.timestretch import repitch_native
+
+        return repitch_native(wav, pitch, tempo, samplerate=samplerate)
     if not soundstretch_available():
         raise RuntimeError("soundstretch binary is not installed")
     infile = tempfile.NamedTemporaryFile(suffix=".wav")
@@ -77,7 +93,7 @@ class RepitchedWrapper:
         in_length = streams.shape[-1]
         out_length = int((1 - 0.01 * self.max_tempo) * in_length)
 
-        if random.random() < self.proba and soundstretch_available():
+        if random.random() < self.proba:
             delta_pitch = random.randint(-self.max_pitch, self.max_pitch)
             delta_tempo = random.gauss(0, self.tempo_std)
             delta_tempo = min(max(-self.max_tempo, delta_tempo), self.max_tempo)

@@ -6,8 +6,10 @@ stems across songs within 15% tempo / 3 semitones, repitch/retempo
 (soundstretch), align first beats on a 5 ms gaussian grid, and write remixed
 track folders usable by the Wavset layer.
 
-Host-side numpy throughout; requires ``librosa`` (beat tracking + chroma) and
-``soundstretch`` — both optional deps, checked at startup.
+Host-side numpy throughout. librosa / soundstretch are used when installed
+(matching the reference); otherwise the native fallbacks take over
+(demucs_tpu.ops.beats for beat tracking + chroma, demucs_tpu.ops.timestretch
+WSOLA for repitch/retempo) so the tool runs with zero extra dependencies.
 
 Usage:
     python tools/automix.py --musdb /path/to/musdbhq --out /path/to/automix
@@ -27,7 +29,7 @@ from pathlib import Path
 import numpy as np
 
 from demucs_tpu.audio import save_audio
-from demucs_tpu.train.repitch import repitch, soundstretch_available
+from demucs_tpu.train.repitch import repitch
 from demucs_tpu.train.wav import MUSDB_VALID_TRACKS, Wavset, build_metadata
 from demucs_tpu.zoo.pretrained import SOURCES
 
@@ -49,9 +51,21 @@ def rms(wav: np.ndarray, window: int = 10000) -> np.ndarray:
 
 
 def analyse_track(dset, index, cache_dir: Path):
-    """Extract BPM + bass chroma histogram (automix.py:59-101)."""
-    from librosa.beat import beat_track
-    from librosa.feature import chroma_cqt
+    """Extract BPM + bass chroma histogram (automix.py:59-101).
+
+    Uses librosa when installed (reference behavior), else the native beat
+    tracker / STFT chroma (demucs_tpu.ops.beats)."""
+    try:
+        from librosa.beat import beat_track
+        from librosa.feature import chroma_cqt
+    except ImportError:
+        from demucs_tpu.ops.beats import beat_track as _bt, chroma_stft
+
+        def beat_track(y, units, sr):
+            return _bt(y, sr, units=units)
+
+        def chroma_cqt(y, sr):
+            return chroma_stft(y, sr)
 
     track = dset[index]
     mix = track.sum(0).mean(0)
@@ -202,12 +216,8 @@ def main():
     parser.add_argument("--workers", type=int, default=4)
     args = parser.parse_args()
 
-    try:
-        import librosa  # noqa: F401
-    except ImportError:
-        raise SystemExit("automix requires librosa (beat tracking + chroma)")
-    if not soundstretch_available():
-        raise SystemExit("automix requires the soundstretch binary")
+    # librosa and soundstretch are used when installed; otherwise the native
+    # fallbacks (demucs_tpu.ops.beats / demucs_tpu.ops.timestretch) kick in.
 
     random.seed(4321)
     if args.out.exists():
