@@ -46,7 +46,7 @@ class Separator:
         progress: bool = False,
         callback: tp.Optional[tp.Callable[[dict], None]] = None,
         callback_arg: tp.Optional[dict] = None,
-        batch_size: int = 8,
+        batch_size: int = 16,
         engine: str = "auto",
         transfer_dtype: tp.Optional[str] = "float16",
     ):

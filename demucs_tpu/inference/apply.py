@@ -161,7 +161,7 @@ def apply_model(
     callback: tp.Optional[tp.Callable[[dict], None]] = None,
     callback_arg: tp.Optional[dict] = None,
     rng: tp.Optional[_random.Random] = None,
-    batch_size: int = 8,
+    batch_size: int = 16,
     engine: str = "auto",
     transfer_dtype: tp.Optional[str] = "float16",
 ) -> np.ndarray:
@@ -364,7 +364,7 @@ def apply_model_tracks(
     progress: bool = False,
     segment: tp.Optional[float] = None,
     rng: tp.Optional[_random.Random] = None,
-    batch_size: int = 8,
+    batch_size: int = 16,
     engine: str = "auto",
     transfer_dtype: tp.Optional[str] = "float16",
     length_bucket_seconds: tp.Optional[float] = None,

@@ -299,7 +299,7 @@ def _dispatch_track(
     overlap: float = 0.25,
     transition_power: float = 1.0,
     segment: tp.Optional[float] = None,
-    batch_size: int = 8,
+    batch_size: int = 16,
     rng: tp.Optional[_random.Random] = None,
     transfer_dtype: tp.Optional[str] = "float16",
     input_transfer_dtype: tp.Optional[str] = "float16",

@@ -77,7 +77,21 @@ def _frame(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
 # STFT/iSTFT inner transform: "fft" = jnp.fft (XLA butterfly, VPU-bound on
 # TPU) or "matmul" = dense DFT basis matmuls (MXU path; the framed DFT is a
 # (frames, n_fft) @ (n_fft, freqs) contraction — per the BASELINE north star).
-DEFAULT_METHOD = "fft"
+# None = resolve lazily: matmul on accelerators (+15% full-forward throughput
+# on v5e), fft on CPU where the dense basis loses. Set to "fft"/"matmul" to
+# pin globally.
+DEFAULT_METHOD: tp.Optional[str] = None
+
+
+def _default_method() -> str:
+    if DEFAULT_METHOD is not None:
+        return DEFAULT_METHOD
+    try:
+        import jax
+
+        return "matmul" if jax.default_backend() != "cpu" else "fft"
+    except Exception:
+        return "fft"
 
 
 @functools.lru_cache(maxsize=None)
@@ -112,7 +126,7 @@ def stft(
     Returns:
         complex64 ``(..., n_fft // 2 + 1, n_frames)``.
     """
-    method = method or DEFAULT_METHOD
+    method = method or _default_method()
     dtype = x.dtype
     if center:
         pad = n_fft // 2
@@ -208,7 +222,7 @@ def istft(
     Returns:
         real ``(..., length)`` (or full uncropped OLA length minus center pad).
     """
-    method = method or DEFAULT_METHOD
+    method = method or _default_method()
     n_frames = z.shape[-1]
     zt = jnp.swapaxes(z, -1, -2)  # (..., n_frames, freqs)
     if normalized:

@@ -68,7 +68,7 @@ def get_parser() -> argparse.ArgumentParser:
                         help="mp3 encoder preset, 2 = highest quality.")
     parser.add_argument("-j", "--jobs", default=0, type=int,
                         help="Number of jobs (compatibility; see --batch-size).")
-    parser.add_argument("--batch-size", default=8, type=int,
+    parser.add_argument("--batch-size", default=16, type=int,
                         help="Segments per device batch (TPU throughput knob).")
     parser.add_argument("--engine", default="auto", choices=["auto", "host", "device"],
                         help="Separation engine: device = on-chip overlap-add "
