@@ -109,3 +109,17 @@ def make_sharded_train_step(
         in_shardings=(replicated, replicated, batch_sharded, replicated),
         out_shardings=(replicated, replicated, replicated),
     )
+
+
+def put_global_batch(sharding, local_batch):
+    """Assemble the global batch array from this process's local examples.
+
+    Single-process: a plain ``device_put``. Multi-process (multi-host DP):
+    every process contributes its local examples as its shard of the global
+    array (``jax.make_array_from_process_local_data``) — the JAX-native
+    replacement for the reference's DistributedSampler + per-rank batches
+    (distrib.py:84-100, train.py:172-173).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
