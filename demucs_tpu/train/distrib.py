@@ -43,16 +43,42 @@ def rank() -> int:
     return jax.process_index()
 
 
-def average(metrics: tp.Mapping[str, float], count: float = 1.0) -> tp.Dict[str, float]:
-    """Weighted average of metrics across processes (distrib.py:32-42)."""
-    if world_size() == 1:
-        return dict(metrics)
+def _allgather_obj(obj: tp.Any) -> tp.List[tp.Any]:
+    """Allgather one picklable object per process (fixed-size collectives:
+    a sizes allgather, then a padded-payload allgather — consistent across
+    ranks even when the objects differ in size/keys)."""
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    keys = sorted(metrics)
-    vec = np.array([metrics[k] * count for k in keys] + [count], dtype=np.float64)
-    summed = multihost_utils.process_allgather(vec).sum(axis=0)
-    return {k: summed[i] / summed[-1] for i, k in enumerate(keys)}
+    data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([len(data)], dtype=np.int64))
+    max_size = int(sizes.max())
+    padded = np.zeros(max_size, dtype=np.uint8)
+    padded[: len(data)] = data
+    all_payloads = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(all_payloads[r][: int(sizes[r][0])].tobytes())
+        for r in range(world_size())
+    ]
+
+
+def average(metrics: tp.Mapping[str, float], count: float = 1.0) -> tp.Dict[str, float]:
+    """Weighted average of metrics across processes (distrib.py:32-42).
+
+    Robust to ranks carrying different key sets (e.g. a rank that drew zero
+    valid batches contributes nothing): each key averages over the ranks
+    that have it."""
+    if world_size() == 1:
+        return dict(metrics)
+    sums: tp.Dict[str, float] = {}
+    counts: tp.Dict[str, float] = {}
+    for m, c in _allgather_obj((dict(metrics), float(count))):
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + v * c
+            counts[k] = counts.get(k, 0.0) + c
+    return {k: sums[k] / counts[k] for k in sums}
 
 
 def barrier() -> None:
@@ -65,23 +91,10 @@ def barrier() -> None:
 
 def share(obj: tp.Any = None, src: int = 0) -> tp.Any:
     """Broadcast a picklable object from ``src`` to all processes
-    (distrib.py:61-81)."""
+    (distrib.py:61-81). Every process must call with the same ``src``."""
     if world_size() == 1:
         return obj
-    import pickle
-
-    from jax.experimental import multihost_utils
-
-    payload = pickle.dumps(obj) if rank() == src else b""
-    data = np.frombuffer(payload, dtype=np.uint8)
-    # Gather sizes first, then the padded payloads, from every process; pick src.
-    size = np.array([len(data)], dtype=np.int64)
-    sizes = multihost_utils.process_allgather(size)
-    max_size = int(sizes.max())
-    padded = np.zeros(max_size, dtype=np.uint8)
-    padded[: len(data)] = data
-    all_payloads = multihost_utils.process_allgather(padded)
-    return pickle.loads(all_payloads[src][: int(sizes[src][0])].tobytes())
+    return _allgather_obj(obj if rank() == src else None)[src]
 
 
 def shard_indices(n: int) -> range:

@@ -129,9 +129,59 @@ class Solver:
         self.best_changed = False
         self.rng = jax.random.PRNGKey(args.seed)
 
+        self._mesh = self._make_mesh()
         self._train_step = self._build_train_step()
         self._valid_step = self._build_valid_step()
         self._reset()
+
+    def _make_mesh(self):
+        """Data-parallel mesh for the train step (the DDP replacement,
+        SURVEY.md §2.10): batch sharded over every usable device, params
+        replicated, XLA inserts the gradient all-reduce. None = single
+        device (or indivisible batch on one process)."""
+        from jax.sharding import Mesh
+
+        # devices of the platform training actually runs on (jax_default_device
+        # may pin CPU while an accelerator plugin owns jax.devices())
+        default = jax.config.jax_default_device
+        devs = jax.devices(default.platform) if default is not None else jax.devices()
+        if len(devs) == 1:
+            return None
+        batch = getattr(self.loaders.get("train"), "batch_size", None)
+        if not batch:
+            return None
+        if jax.process_count() > 1:
+            d_local = len(jax.local_devices())
+            if batch % d_local != 0:
+                raise ValueError(
+                    f"per-process batch {batch} must divide the {d_local} "
+                    "local devices for multi-host data-parallel training")
+            return Mesh(np.array(devs), axis_names=("dp",))
+        # single process: largest device count that divides the batch
+        m = max((k for k in range(1, len(devs) + 1) if batch % k == 0),
+                default=1)
+        if m == 1:
+            return None
+        return Mesh(np.array(devs[:m]), axis_names=("dp",))
+
+    def _jit_train_step(self, step):
+        if self._mesh is None:
+            return jax.jit(step)
+        from demucs_tpu.train.step import data_parallel_shardings
+
+        repl, batch_sharded = data_parallel_shardings(self._mesh)
+        return jax.jit(step,
+                       in_shardings=(repl, repl, batch_sharded, repl),
+                       out_shardings=(repl, repl, repl))
+
+    def _put_batch(self, sources):
+        if self._mesh is None:
+            return jnp.asarray(sources)
+        from demucs_tpu.train.step import (
+            data_parallel_shardings, put_global_batch)
+
+        _, batch_sharded = data_parallel_shardings(self._mesh)
+        return put_global_batch(batch_sharded, np.asarray(sources))
 
     # ------------------------------------------------------------------ steps
 
@@ -203,9 +253,9 @@ class Solver:
         # NOTE: no buffer donation here — EMA banks and best_state alias the live
         # param arrays; donation would invalidate them. The perf-critical path
         # is inference; revisit with explicit copies if train memory binds.
-        plain = jax.jit(make_step(False))
+        plain = self._jit_train_step(make_step(False))
         if args.svd.penalty > 0:
-            penalized = jax.jit(make_step(True))
+            penalized = self._jit_train_step(make_step(True))
             from demucs_tpu.train.svd import penalty_rng
 
             def dispatch(params, opt_state, sources, rng):
@@ -429,6 +479,10 @@ class Solver:
                 break
 
     def _push_history(self) -> None:
+        # Only rank 0 owns the XP folder files (reference solver.py:284-287);
+        # concurrent tmp->rename from several ranks races.
+        if distrib.rank() != 0:
+            return
         import json
 
         def clean(obj):
@@ -460,7 +514,8 @@ class Solver:
             if train:
                 self.rng, key = jax.random.split(self.rng)
                 params, self.opt_state, m = self._train_step(
-                    self.model.params, self.opt_state, jnp.asarray(sources), key
+                    self.model.params, self.opt_state, self._put_batch(sources),
+                    key,
                 )
                 self.model.params = params
                 reco = np.asarray(m["reco_per_source"])

@@ -28,6 +28,15 @@ jax.distributed.initialize(os.environ["MP_COORD"], num_processes=world,
                            process_id=rank)
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
+import time as _time  # noqa: E402
+
+_T0 = _time.time()
+
+
+def _mark(msg):
+    print(f"[rank {rank} +{_time.time()-_T0:7.1f}s] {msg}", flush=True)
+
+
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
@@ -57,6 +66,7 @@ def main():
     assert all_sets[rank] == mine
     assert not (mine & others) and len(mine | others) == 7
 
+    _mark("distrib helpers done")
     distrib.barrier()
 
     # ONE global DP train step over the 2x2 (procs x local devices) mesh
@@ -86,6 +96,7 @@ def main():
     opt_state = jax.device_put(opt_state, replicated)
     key = jax.device_put(jax.random.PRNGKey(0), replicated)
 
+    _mark("step-level: compiling")
     step = make_sharded_train_step(ht.forward, cfg, tcfg, optimizer, mesh)
     params, opt_state, metrics = step(params, opt_state, sources, key)
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
@@ -95,7 +106,73 @@ def main():
     losses = distrib.share([loss], src=0)
     assert abs(losses[0] - loss) < 1e-6
 
-    print(f"WORKER_OK {rank} loss={loss:.5f}", flush=True)
+    _mark("step-level done; starting solver epoch")
+    solver_loss = run_solver_epoch()
+
+    print(f"WORKER_OK {rank} loss={loss:.5f} solver={solver_loss:.6f}",
+          flush=True)
+
+
+def run_solver_epoch() -> float:
+    """Full Solver for one epoch across both processes: rank-0 metadata build
+    + barrier, rank-sharded loaders, globally-sharded train step, all-reduced
+    epoch metrics. Returns the epoch train loss (must agree across ranks)."""
+    from demucs_tpu import audio as dta
+    from demucs_tpu.train.config import TrainArgs, apply_overrides
+    from demucs_tpu.train.train import get_solver
+
+    sr = 8000
+    sources = ("drums", "bass", "other", "vocals")
+    shared = Path(os.environ["MP_SHARED"])
+    root = shared / "musdb"
+    if rank == 0:
+        rng = np.random.default_rng(0)
+        for subset, name in [("train", "TrackA"), ("train", "TrackB"),
+                             ("train", "ValTrack"), ("test", "TestTrack")]:
+            tdir = root / subset / name
+            tdir.mkdir(parents=True, exist_ok=True)
+            T = 4 * sr
+            stems = []
+            for source in sources:
+                wav = (rng.standard_normal((2, T)) * 0.05).astype(np.float32)
+                dta.write_wav(tdir / f"{source}.wav", wav, sr, as_float=True)
+                stems.append(wav)
+            dta.write_wav(tdir / "mixture.wav", sum(stems), sr, as_float=True)
+    distrib.barrier()
+
+    args = TrainArgs()
+    args = apply_overrides(args, {
+        "model": "demucs",
+        "model_args": {"channels": 4, "depth": 2, "resample": False,
+                       "dconv_mode": 0, "lstm_layers": 0},
+        "dset.musdb": str(root),
+        "dset.metadata": str(shared / "metadata"),
+        "dset.samplerate": sr,
+        "dset.segment": 2,
+        "dset.shift": 0.25,
+        "dset.valid_tracks": ("ValTrack",),
+        "epochs": 1,
+        "batch_size": 4,  # global; 2 per process, 2 local devices each
+        "max_batches": 2,
+        "augment.repitch.proba": 0.0,
+        "augment.remix.group_size": 2,
+        "test.every": 99,
+        "test.sdr": False,
+        "test.workers": 0,
+        "test.shifts": 0,
+        "misc.num_workers": 0,
+        "out_dir": str(shared / "outputs"),
+    })
+    solver = get_solver(args)
+    assert solver._mesh is not None and solver._mesh.devices.size == 4, (
+        solver._mesh)
+    _mark("solver built; training")
+    solver.train()
+    _mark("solver.train done")
+    loss = float(solver.history[-1]["train"]["loss"])
+    all_losses = [distrib.share([loss], src=r)[0] for r in range(world)]
+    assert abs(all_losses[0] - all_losses[1]) < 1e-6, all_losses
+    return loss
 
 
 if __name__ == "__main__":

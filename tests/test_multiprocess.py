@@ -17,7 +17,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster():
+def test_two_process_cluster(tmp_path):
     port = _free_port()
     world = 2
     env_base = {k: v for k, v in os.environ.items()}
@@ -34,7 +34,7 @@ def test_two_process_cluster():
     for rank in range(world):
         env = dict(env_base,
                    MP_COORD=f"127.0.0.1:{port}", MP_RANK=str(rank),
-                   MP_WORLD=str(world))
+                   MP_WORLD=str(world), MP_SHARED=str(tmp_path))
         procs.append(subprocess.Popen(
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -47,9 +47,17 @@ def test_two_process_cluster():
                 q.kill()
             raise
         outs.append(out)
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert f"WORKER_OK {rank}" in out, out[-3000:]
+    def noise(line):
+        return any(s in line for s in ("Gloo", "grpc", "tensorflow.",
+                                       "WatchJobState", "oordination"))
+
+    cleaned = ["\n".join(ln for ln in out.splitlines() if not noise(ln))
+               for out in outs]
+    ok = all(p.returncode == 0 and f"WORKER_OK {r}" in out
+             for r, (p, out) in enumerate(zip(procs, outs)))
+    assert ok, "\n\n".join(
+        f"=== rank {r} (exit {p.returncode}) ===\n{c[-4000:]}"
+        for r, (p, c) in enumerate(zip(procs, cleaned)))
     # replicated loss agrees across processes
     losses = [line.split("loss=")[1] for out in outs
               for line in out.splitlines() if "WORKER_OK" in line]

@@ -200,3 +200,29 @@ def test_evaluate_pretrained_flow(dataset_root, tmp_path):
         assert f"nsdr_med_{source}" in result
     assert "nsdr" in result and "nsdr_med" in result
     assert np.isfinite(result["nsdr"])
+
+
+def test_solver_train_step_is_sharded(dataset_root, tmp_path):
+    """On a multi-device host the solver's jitted train step shards the batch
+    over a dp mesh (the DDP replacement) — and produces the same training
+    trajectory as the single-device step."""
+    import jax
+
+    from demucs_tpu.train.train import get_solver
+
+    args = _make_args(dataset_root, tmp_path / "sharded", **{"epochs": 1})
+    solver = get_solver(args)
+    assert solver._mesh is not None, "expected a dp mesh on the 8-device host"
+    assert solver._mesh.devices.size == 4  # largest divisor of batch 4
+    solver.train()
+    sharded_loss = solver.history[-1]["train"]["loss"]
+
+    # force the single-device path and compare
+    args2 = _make_args(dataset_root, tmp_path / "single", **{"epochs": 1})
+    solver2 = get_solver(args2)
+    solver2._mesh = None
+    solver2._train_step = solver2._build_train_step()
+    solver2.train()
+    single_loss = solver2.history[-1]["train"]["loss"]
+    assert abs(sharded_loss - single_loss) < 1e-4 * max(1.0, abs(single_loss)), (
+        sharded_loss, single_loss)
