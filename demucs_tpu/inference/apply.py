@@ -211,12 +211,14 @@ def apply_model(
                     "track, no callback, and htdemucs/hdemucs/demucs models"
                 )
             from demucs_tpu.inference.engine import device_apply_model
+            from demucs_tpu.parallel.sharded import auto_mesh
 
             return device_apply_model(
                 model, mix_arr,
                 shifts=shifts, overlap=overlap, transition_power=transition_power,
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
+                mesh=auto_mesh(),
             )
     if rng is None:
         rng = _random  # module acts as a Random instance (reference parity)
@@ -391,12 +393,14 @@ def apply_model_tracks(
                 "engine='device' requires split mode and htdemucs/hdemucs/"
                 "demucs models")
         from demucs_tpu.inference.engine import device_separate_tracks
+        from demucs_tpu.parallel.sharded import auto_mesh
 
         yield from device_separate_tracks(
             model, tracks, shifts=shifts, overlap=overlap,
             transition_power=transition_power, segment=segment,
             batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
-            progress=progress, length_bucket_seconds=length_bucket_seconds)
+            progress=progress, length_bucket_seconds=length_bucket_seconds,
+            mesh=auto_mesh())
         return
     for mix in tracks:
         yield apply_model(

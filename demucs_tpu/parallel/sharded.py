@@ -24,6 +24,23 @@ def make_mesh(n_devices: tp.Optional[int] = None, platform: tp.Optional[str] = N
     return Mesh(np.array(devs), axis_names=("dp",))
 
 
+def auto_mesh():
+    """A ``(dp,)`` mesh over all accelerator devices when there are several;
+    None on CPU or single-chip hosts. Lets the CLI/API use every chip
+    without flags."""
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        devs = jax.devices()
+    except RuntimeError:
+        return None
+    if len(devs) <= 1:
+        return None
+    return make_mesh()
+
+
 def sharded_apply_model(model, mix: np.ndarray, *, mesh=None, **kwargs) -> np.ndarray:
     """``apply_model`` with segments sharded over a mesh (defaults to all
     local devices)."""
