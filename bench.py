@@ -124,10 +124,14 @@ def main():
             times.append(time.time() - t0)
 
     elapsed = min(times)
-    asps = args.tracks * args.seconds / elapsed
+    # per-chip: the device engine auto-shards over every local accelerator
+    # chip (parallel/sharded.py::auto_mesh), so normalize by chip count.
+    n_chips = (len(jax.local_devices())
+               if jax.default_backend() != "cpu" else 1)
+    asps = args.tracks * args.seconds / elapsed / n_chips
     print(
         f"# warmup {warm:.1f}s, runs {[f'{t:.2f}' for t in times]}, "
-        f"device={jax.devices()[0].device_kind}",
+        f"device={jax.devices()[0].device_kind} x{n_chips}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -171,10 +171,19 @@ class Separator:
         ``separate_audio_file`` when a callback is set.
         """
         meta: tp.List[tuple] = []
+        load_error: tp.List[BaseException] = []
 
         def _mixes():
             for file in files:
-                wav = self._load_audio(file)
+                try:
+                    wav = self._load_audio(file)
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    # Stop feeding the pipeline but let already-dispatched
+                    # tracks drain (their stems are yielded before the error
+                    # surfaces — a mid-batch corrupt file must not discard
+                    # finished separations).
+                    load_error.append(exc)
+                    return
                 ref = wav.mean(axis=0)
                 mean, std = ref.mean(), ref.std()
                 meta.append((file, wav, mean, std))
@@ -191,6 +200,8 @@ class Separator:
             file, wav, mean, std = meta[i]
             out = out * (std + 1e-8) + mean
             yield file, wav, dict(zip(self._model.sources, out[0]))
+        if load_error:
+            raise load_error[0]
 
     @property
     def samplerate(self):

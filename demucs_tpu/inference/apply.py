@@ -387,6 +387,18 @@ def apply_model_tracks(
     device_ok = split and all(k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
     use_device = engine == "device" or (
         engine == "auto" and auto_ok and _accelerator_backend())
+
+    def _checked(items):
+        for mix in items:
+            mix = np.asarray(mix)
+            if mix.ndim != 3 or mix.shape[0] != 1 or mix.dtype.kind != "f":
+                raise ValueError(
+                    "apply_model_tracks expects float (1, C, L) tracks, got "
+                    f"shape {mix.shape} dtype {mix.dtype}; use apply_model "
+                    "for batched input")
+            yield mix
+
+    tracks = _checked(tracks)
     if use_device:
         if not device_ok:
             raise ValueError(

@@ -338,12 +338,16 @@ def _dispatch_track(
     totals = np.zeros(n_sources)
 
     # Homogeneous bag on a multi-device mesh: fan members out across the mesh
-    # (one device group per model) instead of the reference's sequential loop.
+    # (one device per model) instead of the reference's sequential loop.
+    # Only when devices == models: with MORE devices, each fan-out group
+    # would compute its member's full pass redundantly (the body is built
+    # single-device), and the sequential segment-sharded path over all
+    # devices is faster.
     fan_out = (
         mesh is not None
         and len(models) > 1
         and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
-        and mesh.devices.size % len(models) == 0
+        and mesh.devices.size == len(models)
     )
     if fan_out:
         accum, totals = _bag_fanout_passes(

@@ -89,7 +89,13 @@ def _default_method() -> str:
     try:
         import jax
 
-        return "matmul" if jax.default_backend() != "cpu" else "fft"
+        # jax_default_device may pin CPU while an accelerator plugin owns
+        # jax.default_backend() (this deployment's TPU plugin ignores
+        # JAX_PLATFORMS) — decide by where compute actually runs.
+        default = jax.config.jax_default_device
+        platform = (default.platform if default is not None
+                    else jax.default_backend())
+        return "matmul" if platform != "cpu" else "fft"
     except Exception:
         return "fft"
 

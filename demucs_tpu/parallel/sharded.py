@@ -25,20 +25,25 @@ def make_mesh(n_devices: tp.Optional[int] = None, platform: tp.Optional[str] = N
 
 
 def auto_mesh():
-    """A ``(dp,)`` mesh over all accelerator devices when there are several;
-    None on CPU or single-chip hosts. Lets the CLI/API use every chip
-    without flags."""
+    """A ``(dp,)`` mesh over this process's accelerator devices when there
+    are several; None on CPU or single-chip hosts. Lets the CLI/API use
+    every local chip without flags.
+
+    Local devices only: in a multi-process run each rank separates its own
+    (rank-sharded, per-rank-divergent) tracks, so programs must never span
+    other processes' chips."""
     import jax
+    from jax.sharding import Mesh
 
     try:
         if jax.default_backend() == "cpu":
             return None
-        devs = jax.devices()
+        devs = jax.local_devices()
     except RuntimeError:
         return None
     if len(devs) <= 1:
         return None
-    return make_mesh()
+    return Mesh(np.array(devs), axis_names=("dp",))
 
 
 def sharded_apply_model(model, mix: np.ndarray, *, mesh=None, **kwargs) -> np.ndarray:

@@ -50,7 +50,7 @@ def test_bag_fanout_matches_sequential(cpu_devices):
 
     sequential = device_apply_model(bag, mix, shifts=0, transfer_dtype=None,
                                     input_transfer_dtype=None)
-    mesh = make_mesh(8, platform="cpu")
+    mesh = make_mesh(2, platform="cpu")  # fan-out requires devices == models
     fanned = device_apply_model(bag, mix, mesh=mesh, shifts=0,
                                 transfer_dtype=None, input_transfer_dtype=None)
     assert fanned.shape == sequential.shape
@@ -73,7 +73,7 @@ def test_bag_fanout_shifts_offset_order(cpu_devices):
     sequential = device_apply_model(bag, mix, shifts=2, transfer_dtype=None,
                                     input_transfer_dtype=None,
                                     rng=_FixedOffsets(offsets))
-    mesh = make_mesh(8, platform="cpu")
+    mesh = make_mesh(2, platform="cpu")
     fanned = device_apply_model(bag, mix, mesh=mesh, shifts=2,
                                 transfer_dtype=None, input_transfer_dtype=None,
                                 rng=_FixedOffsets(offsets))
