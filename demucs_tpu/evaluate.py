@@ -65,7 +65,7 @@ def eval_track(references: np.ndarray, estimates: np.ndarray, win: int, hop: int
     return scores, new_scores
 
 
-def _iter_test_tracks(musdb_path: Path, sources: tp.Sequence[str]):
+def _iter_test_tracks(musdb_path: Path):
     test_dir = Path(musdb_path) / "test"
     if not test_dir.is_dir():
         raise FileNotFoundError(f"No test subset at {test_dir}")
@@ -83,11 +83,10 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
     output_dir = solver.folder / "results"
     output_dir.mkdir(exist_ok=True, parents=True)
 
-    src_rate = args.dset.musdb_samplerate
     win = int(1.0 * model.samplerate)
     hop = int(1.0 * model.samplerate)
 
-    track_list = list(_iter_test_tracks(args.dset.musdb, model.sources))
+    track_list = list(_iter_test_tracks(args.dset.musdb))
     indexes = distrib.shard_indices(len(track_list))
 
     pool_cls = futures.ProcessPoolExecutor if args.test.workers else None

@@ -218,6 +218,8 @@ def apply_model(
                 shifts=shifts, overlap=overlap, transition_power=transition_power,
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
+                # bit-exact output request => bit-exact input upload too
+                input_transfer_dtype=None if transfer_dtype is None else "float16",
                 mesh=auto_mesh(),
             )
     if rng is None:
@@ -298,19 +300,35 @@ def apply_model(
         weight = _triangle_weight(segment_length, transition_power)
 
         chunks = [Chunk(mix, offset, segment_length) for offset in offsets]
-        # Leaf target (apply.py:302-309): `segment` kwarg is NOT forwarded to
-        # the leaf in the reference, so HTDemucs pads to its training length.
+        # Leaf target (apply.py:303-309): an explicit `segment` caps the
+        # HTDemucs padding target at int(segment*samplerate) — the model then
+        # right-zero-pads itself to the training length — otherwise
+        # valid_length(chunk) decides.
         groups: tp.Dict[int, tp.List[int]] = {}
         targets = []
         for chunk in chunks:
-            target = model.valid_length(chunk.length)
+            if model.kind == "htdemucs" and segment is not None:
+                target = segment_length
+            else:
+                target = model.valid_length(chunk.length)
             targets.append(target)
             groups.setdefault(target, []).append(len(targets) - 1)
 
         chunk_outs: tp.List[tp.Optional[np.ndarray]] = [None] * len(chunks)
 
+        bar = None
+        if progress:
+            import tqdm
+
+            # per-chunk progress in audio seconds (reference apply.py:286-287)
+            scale = float(format(stride / model.samplerate, ".2f"))
+            bar = tqdm.tqdm(total=len(chunks), unit_scale=scale, ncols=120,
+                            unit="seconds")
+
         def on_chunk_factory(indices):
             def on_chunk(group_pos: int, state: str):
+                if state == "end" and bar is not None:
+                    bar.update(1)
                 if callback is not None:
                     cb = dict(callback_arg)
                     cb["segment_offset"] = offsets[indices[group_pos]]
@@ -319,13 +337,7 @@ def apply_model(
 
             return on_chunk
 
-        iterator = groups.items()
-        if progress:
-            import tqdm
-
-            scale = float(format(stride / model.samplerate, ".2f"))
-            iterator = tqdm.tqdm(iterator, unit_scale=scale, ncols=120, unit="seconds")
-        for target, indices in iterator:
+        for target, indices in groups.items():
             results = _run_batched(
                 model,
                 [chunks[i] for i in indices],
@@ -335,6 +347,8 @@ def apply_model(
             )
             for i, res in zip(indices, results):
                 chunk_outs[i] = res
+        if bar is not None:
+            bar.close()
 
         for offset, chunk, chunk_out in zip(offsets, chunks, chunk_outs):
             assert chunk_out is not None
@@ -346,7 +360,10 @@ def apply_model(
         return out
 
     # Leaf (apply.py:302-322), single chunk.
-    target = model.valid_length(length)
+    if model.kind == "htdemucs" and segment is not None:
+        target = int(segment * model.samplerate)
+    else:
+        target = model.valid_length(length)
     if callback is not None:
         callback(dict(callback_arg, state="start"))
     [res] = _run_batched(model, [Chunk(mix, 0, length)], target, 1)
@@ -411,6 +428,7 @@ def apply_model_tracks(
             model, tracks, shifts=shifts, overlap=overlap,
             transition_power=transition_power, segment=segment,
             batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
+            input_transfer_dtype=None if transfer_dtype is None else "float16",
             progress=progress, length_bucket_seconds=length_bucket_seconds,
             mesh=auto_mesh())
         return

@@ -44,12 +44,9 @@ def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndar
     return (weight / weight.max()) ** transition_power
 
 
-_ACTIVE_MESH: tp.Optional["jax.sharding.Mesh"] = None
-
-
 def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length: int,
                     target: int, stride: int, batch_size: int, transition_power: float,
-                    n_sources: int, audio_channels: int, n_devices: int = 1):
+                    n_sources: int, audio_channels: int, mesh=None):
     """Unjitted (model, shift)-pass over a track of static ``length``.
 
     Dynamic inputs: params, padded track buffer, shift offset, accumulator and
@@ -91,17 +88,17 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
 
         segments = jax.vmap(extract)(start_buf)  # (n_pad, C, target)
 
-        if n_devices > 1 and _ACTIVE_MESH is not None:
+        if mesh is not None and mesh.devices.size > 1:
             # Multi-chip: one forward over all segments, batch dim sharded over
             # the `dp` mesh axis (SPMD — XLA partitions the model replicas and
             # all-gathers the outputs over ICI for the overlap-add).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             segs = jax.lax.with_sharding_constraint(
-                segments, NamedSharding(_ACTIVE_MESH, P("dp")))
+                segments, NamedSharding(mesh, P("dp")))
             outs = forward(params, segs, cfg)
             outs = jax.lax.with_sharding_constraint(
-                outs, NamedSharding(_ACTIVE_MESH, P()))
+                outs, NamedSharding(mesh, P()))
         else:
             outs = jax.lax.map(
                 lambda seg: forward(params, seg, cfg),
@@ -165,7 +162,7 @@ def _build_bag_pass_fn(kind: str, cfg, length: int, max_shift: int,
     in SURVEY.md §2.10."""
     body = _make_pass_body(kind, cfg, length, max_shift, segment_length, target,
                            stride, batch_size, transition_power, n_sources,
-                           audio_channels, 1)
+                           audio_channels, mesh=None)
     zero = functools.partial(jnp.zeros, (n_sources, audio_channels, length),
                              jnp.float32)
 
@@ -372,7 +369,12 @@ def _dispatch_track(
         seg_f = segment if segment is not None else sub_model.segment
         segment_length = int(samplerate * seg_f)
         stride = int((1 - overlap) * segment_length)
-        target = sub_model.valid_length(segment_length)
+        # reference apply.py:303-305: an explicit segment caps the HTDemucs
+        # padding target (the forward right-zero-pads to training length)
+        if sub_model.kind == "htdemucs" and segment is not None:
+            target = segment_length
+        else:
+            target = sub_model.valid_length(segment_length)
 
         key = (segment_length, target)
         if key not in track_dev:
@@ -382,15 +384,12 @@ def _dispatch_track(
                 wire = wire.astype(np.float16)
             track_dev[key] = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire))
 
-        global _ACTIVE_MESH
-        _ACTIVE_MESH = mesh
-        n_devices = 1 if mesh is None else mesh.devices.size
         if mesh is not None:
             # segment grid must divide evenly across devices
-            batch_size = n_devices
+            batch_size = mesh.devices.size
         pass_fn = _build_pass_fn(
             sub_model.kind, sub_model.cfg, L, max_shift, segment_length, target,
-            stride, batch_size, transition_power, n_sources, C, n_devices,
+            stride, batch_size, transition_power, n_sources, C, mesh,
         )
         if accum is None:
             accum = jnp.zeros((n_sources, C, L), jnp.float32)
@@ -449,7 +448,10 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
     seg_f = segment if segment is not None else first.segment
     segment_length = int(samplerate * seg_f)
     stride = int((1 - overlap) * segment_length)
-    target = first.valid_length(segment_length)
+    if first.kind == "htdemucs" and segment is not None:
+        target = segment_length  # reference apply.py:303-305
+    else:
+        target = first.valid_length(segment_length)
     margin = target
 
     mesh2 = Mesh(mesh.devices.reshape(n_models, -1), ("model", "dp"))

@@ -183,8 +183,17 @@ def _set_dotted(args, key: str, value):
     parts = key.split(".")
     node = args
     for part in parts[:-1]:
+        if not hasattr(node, part):
+            raise KeyError(f"unknown config section {part!r} in override {key!r}")
         node = getattr(node, part)
     name = parts[-1]
+    # Reject typos: a silently-created attribute would train with the default
+    # value AND hash to the default XP signature (xp_signature only walks
+    # dataclass fields), resuming/overwriting the wrong experiment.
+    if dataclasses.is_dataclass(node) and name not in {
+        f.name for f in dataclasses.fields(node)
+    }:
+        raise KeyError(f"unknown config key {key!r}")
     current = getattr(node, name, None)
     if isinstance(current, tuple) and isinstance(value, list):
         value = tuple(value)

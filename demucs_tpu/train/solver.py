@@ -54,9 +54,9 @@ def make_optimizer(args: TrainArgs, model: Model) -> optax.GradientTransformatio
     (train.py:75-106 + transformer.py:715-719 make_optim_group)."""
     opt = args.optim
 
-    def base(lr: float, wd: float) -> optax.GradientTransformation:
+    def base(lr: float, wd: float, clip: bool = True) -> optax.GradientTransformation:
         steps = []
-        if opt.clip_grad:
+        if opt.clip_grad and clip:
             steps.append(optax.clip_by_global_norm(opt.clip_grad))
         if opt.optim == "adam":
             if wd:
@@ -80,13 +80,20 @@ def make_optimizer(args: TrainArgs, model: Model) -> optax.GradientTransformatio
                 for key in params
             }
 
-        return optax.multi_transform(
+        grouped = optax.multi_transform(
             {
-                "default": base(opt.lr, opt.weight_decay),
-                "transformer": base(t_lr if t_lr is not None else opt.lr, t_wd),
+                "default": base(opt.lr, opt.weight_decay, clip=False),
+                "transformer": base(t_lr if t_lr is not None else opt.lr, t_wd,
+                                    clip=False),
             },
             label_fn,
         )
+        if opt.clip_grad:
+            # clip the GLOBAL norm over all parameters BEFORE the per-group
+            # split (reference solver.py:378-381 clips model.parameters() as
+            # one set; per-group clipping under-clips)
+            return optax.chain(optax.clip_by_global_norm(opt.clip_grad), grouped)
+        return grouped
     return base(opt.lr, opt.weight_decay)
 
 
@@ -529,8 +536,10 @@ class Solver:
                 mix = sources[:, 0]
                 sources_only = sources[:, 1:]
                 if args.valid_apply:
+                    # reference solver.py:316 — apply_model defaults, i.e.
+                    # shifts=1 (one random shift per valid track)
                     estimate = apply_model(
-                        self.model, mix, split=args.test.split, overlap=0, shifts=0
+                        self.model, mix, split=args.test.split, overlap=0, shifts=1
                     )
                     diff = estimate - sources_only
                     if args.optim.loss == "l1":

@@ -131,12 +131,18 @@ class Wavset:
                 from demucs_tpu import native
 
                 if native.available():
+                    # Request only the frames that exist: tail padding must
+                    # happen AFTER normalization (below) so padded samples are
+                    # true zeros, exactly like the Python path / the
+                    # reference (demucs/wav.py:163-184).
+                    avail = max(0, int(meta["length"]) - offset)
+                    want = min(num_frames, avail)
                     parts = [
                         native.read_wav_window(self.get_file(name, source),
-                                               offset, num_frames, self.channels)
+                                               offset, want, self.channels)
                         for source in self.sources
-                    ]
-                    if all(p is not None for p in parts):
+                    ] if want > 0 else None
+                    if parts is not None and all(p is not None for p in parts):
                         example = np.stack(parts)
             if example is None:
                 wavs = []

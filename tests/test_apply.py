@@ -131,3 +131,25 @@ def test_constant_input_overlap_add_invariant(pair):
     mix = random_mix((1, 2, L), seed=15)
     out = apply_model(model, mix, shifts=0, split=True, overlap=0.25)
     assert np.isfinite(out).all()
+
+
+def test_segment_override_parity(pair):
+    """Explicit segment < model.segment: the reference caps the HTDemucs leaf
+    padding target at int(segment*sr) and the model right-zero-pads itself
+    to the training length (apply.py:303-309) — a previous version padded
+    chunks to the full training length with real context instead."""
+    tmodel, model = pair
+    seg = float(model.segment) * 0.6
+    L = int(2.4 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=17)
+    want = _ref_apply(tmodel, mix, shifts=0, split=True, overlap=0.25, segment=seg)
+    got = apply_model(model, mix, shifts=0, split=True, overlap=0.25,
+                      segment=seg, engine="host")
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 2e-3 * max(np.abs(want).max(), 1.0), err
+
+    # device engine opt-in matches the host engine on the same override
+    dev = apply_model(model, mix, shifts=0, split=True, overlap=0.25,
+                      segment=seg, engine="device", transfer_dtype=None)
+    np.testing.assert_allclose(dev, got, atol=2e-5, rtol=1e-4)

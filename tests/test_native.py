@@ -76,3 +76,38 @@ def test_prefetcher_examples(lib, wav_files):
                 want = np.pad(want, [(0, 0), (0, pad)])
             np.testing.assert_allclose(example[s], (want - 0.1) / 2.0, atol=1e-6)
     pf.close()
+
+
+def test_wavset_tail_window_native_matches_python(lib, tmp_path, monkeypatch):
+    """Tail segments through the native loader match the Python fallback:
+    zero padding must land AFTER normalization (true zeros, reference
+    demucs/wav.py:163-184), not be normalized raw zeros."""
+    from demucs_tpu.train.wav import Wavset, build_metadata
+
+    sources = ("drums", "bass", "other", "vocals")
+    rng = np.random.default_rng(3)
+    tdir = tmp_path / "train" / "Track"
+    tdir.mkdir(parents=True)
+    sr, T = 8000, 3 * 8000
+    stems = []
+    for s in sources:
+        wav = (rng.standard_normal((2, T)) * 0.2 + 0.05).astype(np.float32)
+        dta.write_wav(tdir / f"{s}.wav", wav, sr, as_float=True)
+        stems.append(wav)
+    dta.write_wav(tdir / "mixture.wav", sum(stems), sr, as_float=True)
+
+    meta = build_metadata(tmp_path / "train", list(sources))
+
+    def make():
+        return Wavset(tmp_path / "train", meta, list(sources), segment=2.0,
+                      shift=1.5, samplerate=sr, channels=2, normalize=True)
+
+    ds = make()
+    tail_idx = len(ds) - 1  # window extends past EOF
+    with_native = ds[tail_idx]
+    monkeypatch.setattr(native, "available", lambda: False)
+    without = make()[tail_idx]
+    assert with_native.shape == without.shape
+    np.testing.assert_allclose(with_native, without, atol=1e-6)
+    # padded region is true zeros (post-normalization padding)
+    assert np.abs(with_native[..., -1000:]).max() == 0.0
