@@ -177,6 +177,7 @@ def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
         global_window=cfg.t_global_window,
         sparsity=cfg.t_sparsity,
         flash_attn=cfg.t_flash_attn,
+        dropout=cfg.t_dropout,
     )
 
 

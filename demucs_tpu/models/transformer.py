@@ -57,6 +57,7 @@ class TransformerSpec:
     global_window: int = 50
     sparsity: float = 0.95
     flash_attn: bool = False  # use the fused Pallas attention kernel
+    dropout: float = 0.0  # train-time dropout (attn probs + blocks)
 
     @property
     def hidden_dim(self) -> int:
@@ -180,8 +181,16 @@ def _sparse_mask(s: "TransformerSpec", Tq: int, Tk: int):
                     s.mask_random_seed, s.sparsity)
 
 
+def _dropout(rng: tp.Optional[jax.Array], x: jax.Array, rate: float) -> jax.Array:
+    """Inverted dropout; identity when rng is None (eval) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
 def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-          flash: bool = False, mask=None) -> jax.Array:
+          flash: bool = False, mask=None, rng=None, dropout: float = 0.0) -> jax.Array:
     """torch nn.MultiheadAttention with packed in_proj, batch_first inputs."""
     C = q.shape[-1]
     w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
@@ -189,57 +198,83 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
-    if flash and mask is None:
+    if flash and mask is None and rng is None:
         from demucs_tpu.ops.pallas.attention import flash_mha
 
         out = flash_mha(qh, kh, vh, num_heads)
     else:
-        out = multihead_attention(qh, kh, vh, num_heads, mask=mask)
+        out = multihead_attention(qh, kh, vh, num_heads, mask=mask,
+                                  dropout_rng=rng, dropout=dropout)
     return onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
 
 
-def _ff(p: dict, x: jax.Array, act) -> jax.Array:
+def _ff(p: dict, x: jax.Array, act, rng=None, dropout: float = 0.0) -> jax.Array:
+    # linear2(dropout(act(linear1(x)))) — nn.TransformerEncoderLayer._ff_block
     y = onn.linear(x, p["linear1"]["weight"], p["linear1"]["bias"])
-    return onn.linear(act(y), p["linear2"]["weight"], p["linear2"]["bias"])
+    y = _dropout(rng, act(y), dropout)
+    return onn.linear(y, p["linear2"]["weight"], p["linear2"]["bias"])
 
 
-def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array) -> jax.Array:
-    """MyTransformerEncoderLayer (transformer.py:339-377), norm_first path."""
+def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array,
+                       rng: tp.Optional[jax.Array] = None) -> jax.Array:
+    """MyTransformerEncoderLayer (transformer.py:339-377), norm_first path.
+    ``rng`` enables the reference's train-time dropouts (attn probs,
+    post-attn dropout1, FFN-internal, post-FFN dropout2)."""
     act = onn.gelu if s.gelu else jax.nn.relu
     g1 = p.get("gamma_1") if s.layer_scale else None
     g2 = p.get("gamma_2") if s.layer_scale else None
+    d = s.dropout
+    ks = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
+
+    def sa(q):
+        out = _attn(p["self_attn"], q, q, q, s.num_heads, flash=s.flash_attn,
+                    mask=(_sparse_mask(s, x.shape[1], x.shape[1])
+                          if s.sparse_self_attn else None),
+                    rng=ks[0], dropout=d)
+        return _dropout(ks[1], out, d)  # dropout1
+
+    def ff(y):
+        return _dropout(ks[3], _ff(p, y, act, rng=ks[2], dropout=d), d)  # dropout2
+
     if s.norm_first:
-        m = _sparse_mask(s, x.shape[1], x.shape[1]) if s.sparse_self_attn else None
-        x = x + _gamma(g1, _attn(p["self_attn"], *( _ln(p["norm1"], x),) * 3, s.num_heads,
-                                 flash=s.flash_attn, mask=m))
-        x = x + _gamma(g2, _ff(p, _ln(p["norm2"], x), act))
+        x = x + _gamma(g1, sa(_ln(p["norm1"], x)))
+        x = x + _gamma(g2, ff(_ln(p["norm2"], x)))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)
     else:
-        x = _ln(p["norm1"], x + _gamma(g1, _attn(p["self_attn"], x, x, x, s.num_heads,
-                                               flash=s.flash_attn)))
-        x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
+        x = _ln(p["norm1"], x + _gamma(g1, sa(x)))
+        x = _ln(p["norm2"], x + _gamma(g2, ff(x)))
     return x
 
 
-def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array) -> jax.Array:
+def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array,
+                        rng: tp.Optional[jax.Array] = None) -> jax.Array:
     """CrossTransformerEncoderLayer (transformer.py:466-512), norm_first path."""
     act = onn.gelu if s.gelu else jax.nn.relu
     g1 = p.get("gamma_1") if s.layer_scale else None
     g2 = p.get("gamma_2") if s.layer_scale else None
+    d = s.dropout
+    ks = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
+
+    def ca(qn, kn):
+        out = _attn(p["cross_attn"], qn, kn, kn, s.num_heads, flash=s.flash_attn,
+                    mask=(_sparse_mask(s, q.shape[1], k.shape[1])
+                          if s.sparse_cross_attn else None),
+                    rng=ks[0], dropout=d)
+        return _dropout(ks[1], out, d)  # dropout1
+
+    def ff(y):
+        return _dropout(ks[3], _ff(p, y, act, rng=ks[2], dropout=d), d)  # dropout2
+
     if s.norm_first:
         kn = _ln(p["norm2"], k)
-        m = (_sparse_mask(s, q.shape[1], k.shape[1])
-             if s.sparse_cross_attn else None)
-        x = q + _gamma(g1, _attn(p["cross_attn"], _ln(p["norm1"], q), kn, kn, s.num_heads,
-                                 flash=s.flash_attn, mask=m))
-        x = x + _gamma(g2, _ff(p, _ln(p["norm3"], x), act))
+        x = q + _gamma(g1, ca(_ln(p["norm1"], q), kn))
+        x = x + _gamma(g2, ff(_ln(p["norm3"], x)))
         if s.norm_out:
             x = _norm_out(p.get("norm_out"), x)
     else:
-        x = _ln(p["norm1"], q + _gamma(g1, _attn(p["cross_attn"], q, k, k, s.num_heads,
-                                               flash=s.flash_attn)))
-        x = _ln(p["norm2"], x + _gamma(g2, _ff(p, x, act)))
+        x = _ln(p["norm1"], q + _gamma(g1, ca(q, k)))
+        x = _ln(p["norm2"], x + _gamma(g2, ff(x)))
     return x
 
 
@@ -297,14 +332,18 @@ def crosstransformer_forward(
         xt = _norm_out(p["norm_in_t"], xt)
     xt = xt + s.weight_pos_embed * pos_emb.astype(xt.dtype)
 
+    drop = bool(train and s.dropout > 0.0 and rng is not None)
+    layer_keys = (list(jax.random.split(jax.random.fold_in(rng, 77), 2 * s.num_layers))
+                  if drop else [None] * (2 * s.num_layers))
     for idx in range(s.num_layers):
+        k1, k2 = layer_keys[2 * idx], layer_keys[2 * idx + 1]
         if idx % 2 == s.classic_parity:
-            x = self_layer_forward(p["layers"][idx], s, x)
-            xt = self_layer_forward(p["layers_t"][idx], s, xt)
+            x = self_layer_forward(p["layers"][idx], s, x, rng=k1)
+            xt = self_layer_forward(p["layers_t"][idx], s, xt, rng=k2)
         else:
             old_x = x
-            x = cross_layer_forward(p["layers"][idx], s, x, xt)
-            xt = cross_layer_forward(p["layers_t"][idx], s, xt, old_x)
+            x = cross_layer_forward(p["layers"][idx], s, x, xt, rng=k1)
+            xt = cross_layer_forward(p["layers_t"][idx], s, xt, old_x, rng=k2)
 
     x = jnp.transpose(x.reshape(B, T1, Fr, C), (0, 3, 2, 1))
     xt = jnp.swapaxes(xt, 1, 2)

@@ -32,6 +32,8 @@ def multihead_attention(
     v: jax.Array,
     num_heads: int,
     mask=None,
+    dropout_rng=None,
+    dropout: float = 0.0,
 ) -> jax.Array:
     """Scaled dot-product attention over already-projected q/k/v.
 
@@ -39,6 +41,8 @@ def multihead_attention(
         q: ``(B, Tq, C)``; k/v: ``(B, Tk, C)``.
         mask: optional boolean keep-mask ``(Tq, Tk)`` (sparse-attention
             variants, transformer.py:118-212); masked-out scores get -inf.
+        dropout_rng/dropout: train-time dropout on the attention
+            probabilities (nn.MultiheadAttention(dropout=...)).
     Returns:
         ``(B, Tq, C)`` (pre-output-projection).
     """
@@ -51,6 +55,9 @@ def multihead_attention(
     if mask is not None:
         scores = jnp.where(jnp.asarray(mask)[None, None], scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    if dropout_rng is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, weights.shape)
+        weights = weights * keep.astype(weights.dtype) / (1.0 - dropout)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
     out = out.astype(q.dtype)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Tq, C)

@@ -63,3 +63,33 @@ def test_bag_segment_override_mutates_non_ht_models():
     assert hd.segment == 44.0
     assert htd.segment == htcfg.segment  # unchanged
     assert bag.max_allowed_segment == float(htcfg.segment)
+
+
+def test_dropout_active_in_train_only():
+    """t_dropout (reference transformer.py:277,449-450,507-512): eval is
+    deterministic and dropout-free; train=True with an rng perturbs the
+    output stochastically per key."""
+    import jax
+    import numpy as np
+
+    from common import make_htdemucs_pair, random_mix
+    from demucs_tpu.models import htdemucs as jht
+
+    # layer_scale off: its 1e-4 gamma init hides the dropout perturbation at
+    # random init
+    _, cfg, params = make_htdemucs_pair(
+        extra=dict(t_dropout=0.5, t_layer_scale=False))
+    L = int(cfg.samplerate * cfg.segment)
+    mix = random_mix((1, 2, L), seed=21)
+
+    fwd = jax.jit(jht.forward, static_argnames=("cfg", "train"))
+    ev1 = np.asarray(fwd(params, mix, cfg))
+    ev2 = np.asarray(fwd(params, mix, cfg))
+    np.testing.assert_array_equal(ev1, ev2)  # eval: no dropout
+
+    tr1 = np.asarray(fwd(params, mix, cfg, train=True, rng=jax.random.PRNGKey(0)))
+    tr2 = np.asarray(fwd(params, mix, cfg, train=True, rng=jax.random.PRNGKey(1)))
+    scale = np.abs(ev1).max()
+    assert np.abs(tr1 - ev1).max() > 1e-3 * scale  # dropout changes the output
+    assert np.abs(tr1 - tr2).max() > 1e-3 * scale  # and is rng-dependent
+    assert np.isfinite(tr1).all() and np.isfinite(tr2).all()
