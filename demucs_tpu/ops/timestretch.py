@@ -67,10 +67,14 @@ def time_stretch(wav: np.ndarray, rate: float, frame: int = 2048,
         tail = out[:, pos_out : pos_out + overlap].mean(axis=0)
         n_cand = hi - lo + 1
         if n_cand > 1 and float(np.abs(tail).max()) > 0:
-            idx = lo + np.arange(n_cand)[:, None] + np.arange(overlap)[None, :]
-            cands = mono[idx]  # (n_cand, overlap)
-            norm = np.sqrt((cands * cands).sum(axis=1)) + 1e-12
-            best = int(np.argmax(cands @ tail / norm))
+            # normalized cross-correlation over the contiguous search region
+            # (np.correlate C loop + cumsum norms — no (n_cand, overlap)
+            # gather, which is pathologically slow on this host)
+            region = mono[lo : hi + overlap]
+            dots = np.correlate(region, tail, mode="valid")[:n_cand]
+            sq = np.concatenate([[0.0], np.cumsum(region * region)])
+            norms = np.sqrt(sq[overlap : overlap + n_cand] - sq[:n_cand]) + 1e-12
+            best = int(np.argmax(dots / norms))
             src = lo + best
         else:
             src = min(nominal, T - frame)

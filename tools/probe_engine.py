@@ -28,7 +28,7 @@ def main():
     max_shift = int(0.5 * sr)
 
     pass_fn = eng._build_pass_fn("htdemucs", cfg, L, max_shift, seg_len, target,
-                                 stride, 8, 1.0, 4, 2)
+                                 stride, 16, 1.0, 4, 2, None)
     margin = target
     buf = np.zeros((2, margin + max_shift + L + max_shift + margin), np.float32)
     buf[:, margin + max_shift: margin + max_shift + L] = mix[0]
