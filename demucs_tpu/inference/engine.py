@@ -417,14 +417,26 @@ def _dispatch_final(accum, totals, transfer_dtype, n_sources: int, C: int,
     return result, transfer_dtype, orig_length
 
 
+def _fetch_pieces(pieces) -> list:
+    """Fetch the <=12 MB result slices, 4 at a time: concurrent medium
+    transfers sustain ~40% more throughput than sequential ones on this
+    relay (34 vs 24 MB/s measured; order preserved)."""
+    if len(pieces) <= 1:
+        return [np.asarray(p) for p in pieces]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(4, len(pieces))) as ex:
+        return list(ex.map(np.asarray, pieces))
+
+
 def _gather_stems(result, transfer_dtype, orig_length: int) -> np.ndarray:
     """Block on the chunked device->host stems fetch -> ``(1, S, C, L)``."""
     if transfer_dtype == "int16":
         pieces, scales = result
-        out = np.concatenate([np.asarray(p) for p in pieces], axis=-1)
+        out = np.concatenate(_fetch_pieces(pieces), axis=-1)
         out = out.astype(np.float32) * np.asarray(scales)
     else:
-        out = np.concatenate([np.asarray(p) for p in result], axis=-1)
+        out = np.concatenate(_fetch_pieces(result), axis=-1)
         out = out.astype(np.float32)
     return out[None][..., :orig_length]
 
