@@ -99,10 +99,39 @@ def mdx() -> Grid:
     return [base, _merged(base, {"model": "demucs", "model_args": {"dconv_mode": 3}})]
 
 
+def repro_ft(continue_from: str = "<REPRO_SIG>") -> Grid:
+    """Fine-tune a completed ``repro`` XP (grids/repro_ft.py): widened EMA
+    banks, 4 epochs on the automix set (tools/automix.py) at segment 28,
+    lr 1e-4, model_segment 44 (the released mdx_extra-era bag segment)."""
+    return [{
+        "continue_from": continue_from,
+        "ema.epoch": (0.9, 0.95),
+        "ema.batch": (0.9995, 0.9999),
+        "test.every": 1,
+        "test.sdr": True,
+        "epochs": 4,
+        "dset.segment": 28,
+        "dset.shift": 2,
+        "augment.remix.proba": 0,
+        "augment.scale.proba": 0,
+        "augment.shift_same": True,
+        "batch_size": 16,
+        "optim.lr": 1e-4,
+        "model_segment": 44,
+    }]
+
+
+# Not ported (documented gaps): grids/mdx_refine.py and grids/mdx_extra.py
+# re-launch completed MDX XPs with diffq quantization (diffq is gated — no
+# installable package/spec, COVERAGE.md §2.5) and the `extra44`/`extra_test`
+# private datasets; grids/sdx23.py targets the SDX23 private data.
+
+
 GRIDS: tp.Dict[str, tp.Callable[[], Grid]] = {
     "mmi": mmi,
     "mmi_ft": mmi_ft,
     "repro": repro,
+    "repro_ft": repro_ft,
     "mdx": mdx,
 }
 
