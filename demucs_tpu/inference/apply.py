@@ -218,8 +218,6 @@ def apply_model(
                 shifts=shifts, overlap=overlap, transition_power=transition_power,
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
-                # bit-exact output request => bit-exact input upload too
-                input_transfer_dtype=None if transfer_dtype is None else "float16",
                 mesh=auto_mesh(),
             )
     if rng is None:
@@ -300,17 +298,10 @@ def apply_model(
         weight = _triangle_weight(segment_length, transition_power)
 
         chunks = [Chunk(mix, offset, segment_length) for offset in offsets]
-        # Leaf target (apply.py:303-309): an explicit `segment` caps the
-        # HTDemucs padding target at int(segment*samplerate) — the model then
-        # right-zero-pads itself to the training length — otherwise
-        # valid_length(chunk) decides.
         groups: tp.Dict[int, tp.List[int]] = {}
         targets = []
         for chunk in chunks:
-            if model.kind == "htdemucs" and segment is not None:
-                target = segment_length
-            else:
-                target = model.valid_length(chunk.length)
+            target = model.leaf_target(chunk.length, segment)
             targets.append(target)
             groups.setdefault(target, []).append(len(targets) - 1)
 
@@ -360,10 +351,7 @@ def apply_model(
         return out
 
     # Leaf (apply.py:302-322), single chunk.
-    if model.kind == "htdemucs" and segment is not None:
-        target = int(segment * model.samplerate)
-    else:
-        target = model.valid_length(length)
+    target = model.leaf_target(length, segment)
     if callback is not None:
         callback(dict(callback_arg, state="start"))
     [res] = _run_batched(model, [Chunk(mix, 0, length)], target, 1)
@@ -428,7 +416,6 @@ def apply_model_tracks(
             model, tracks, shifts=shifts, overlap=overlap,
             transition_power=transition_power, segment=segment,
             batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
-            input_transfer_dtype=None if transfer_dtype is None else "float16",
             progress=progress, length_bucket_seconds=length_bucket_seconds,
             mesh=auto_mesh())
         return

@@ -153,13 +153,12 @@ def _build_bag_pass_fn(kind: str, cfg, length: int, max_shift: int,
                        segment_length: int, target: int, stride: int,
                        batch_size: int, transition_power: float, n_sources: int,
                        audio_channels: int, n_models: int, mesh):
-    """Fan a homogeneous bag out across the mesh: one vmapped pass with the
-    model axis as the batch dim. Inputs stacked per model (params, shift
-    offset, per-source scale) arrive sharded over the ``model`` mesh axis, so
-    XLA runs each member on its own device group and all-reduces the summed
-    stems over ICI — the reference runs bag members *sequentially*
-    (apply.py:208-224); this is the embarrassingly-parallel TPU win called out
-    in SURVEY.md §2.10."""
+    """Fan a homogeneous bag out across the mesh: inputs stacked per model
+    (params, shift offset, per-source scale) are sharded over the ``model``
+    mesh axis and each member's pass runs as plain local code on its device
+    (shard_map), with one all-reduce summing the stems over ICI — the
+    reference runs bag members *sequentially* (apply.py:208-224); this is the
+    embarrassingly-parallel TPU win called out in SURVEY.md §2.10."""
     body = _make_pass_body(kind, cfg, length, max_shift, segment_length, target,
                            stride, batch_size, transition_power, n_sources,
                            audio_channels, mesh=None)
@@ -299,14 +298,19 @@ def _dispatch_track(
     batch_size: int = 16,
     rng: tp.Optional[_random.Random] = None,
     transfer_dtype: tp.Optional[str] = "float16",
-    input_transfer_dtype: tp.Optional[str] = "float16",
+    input_transfer_dtype: tp.Optional[str] = "auto",
     progress: bool = False,
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
     length_bucket_seconds: tp.Optional[float] = None,
 ):
     """Upload + dispatch all device work for one track (asynchronously),
     including the final normalize/wire-format program; returns the pending
-    device results for ``_gather_stems`` to block on."""
+    device results for ``_gather_stems`` to block on.
+
+    ``input_transfer_dtype="auto"`` follows ``transfer_dtype``: a bit-exact
+    output request (None) implies a bit-exact (fp32) input upload."""
+    if input_transfer_dtype == "auto":
+        input_transfer_dtype = None if transfer_dtype is None else "float16"
     if rng is None:
         rng = _random
     assert mix.ndim == 3 and mix.shape[0] == 1, mix.shape
@@ -369,12 +373,7 @@ def _dispatch_track(
         seg_f = segment if segment is not None else sub_model.segment
         segment_length = int(samplerate * seg_f)
         stride = int((1 - overlap) * segment_length)
-        # reference apply.py:303-305: an explicit segment caps the HTDemucs
-        # padding target (the forward right-zero-pads to training length)
-        if sub_model.kind == "htdemucs" and segment is not None:
-            target = segment_length
-        else:
-            target = sub_model.valid_length(segment_length)
+        target = sub_model.leaf_target(segment_length, segment)
 
         key = (segment_length, target)
         if key not in track_dev:
@@ -445,9 +444,10 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
                        transition_power, segment, batch_size, rng,
                        input_transfer_dtype, max_shift):
     """Run every bag member concurrently: stack params along a ``model`` axis
-    sharded over the mesh, vmap the per-model pass, sum the stems (an XLA
-    all-reduce over ICI). Shift offsets are drawn in the same model-major
-    order as the sequential path (reference apply.py:208-224 semantics)."""
+    sharded over the mesh (shard_map — each member's pass runs as plain local
+    code on its device), stems summed with one all-reduce. Shift offsets are
+    drawn in the same model-major order as the sequential path (reference
+    apply.py:208-224 semantics)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     first = models[0]
@@ -460,10 +460,7 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
     seg_f = segment if segment is not None else first.segment
     segment_length = int(samplerate * seg_f)
     stride = int((1 - overlap) * segment_length)
-    if first.kind == "htdemucs" and segment is not None:
-        target = segment_length  # reference apply.py:303-305
-    else:
-        target = first.valid_length(segment_length)
+    target = first.leaf_target(segment_length, segment)
     margin = target
 
     mesh2 = Mesh(mesh.devices.reshape(n_models, -1), ("model", "dp"))

@@ -91,6 +91,16 @@ class Model:
             return v2_valid_length(self.cfg, length)
         return length  # hdemucs has no valid_length — processes natural lengths
 
+    def leaf_target(self, length: int, segment: tp.Optional[float]) -> int:
+        """Leaf padding target given an optional explicit segment override
+        (reference apply.py:303-309): an explicit ``segment`` caps the
+        HTDemucs target at ``int(segment*samplerate)`` — the forward then
+        right-zero-pads itself to the training length — otherwise
+        ``valid_length(length)`` decides."""
+        if self.kind == "htdemucs" and segment is not None:
+            return int(segment * self.samplerate)
+        return self.valid_length(length)
+
     def forward_fn(self) -> tp.Callable:
         return jitted_forward(self.kind, self.cfg)
 
