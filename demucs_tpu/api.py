@@ -49,6 +49,7 @@ class Separator:
         batch_size: int = 16,
         engine: str = "auto",
         transfer_dtype: tp.Optional[str] = "float16",
+        length_bucket_seconds: tp.Optional[float] = None,
     ):
         """Load a model by name and hold separation parameters.
 
@@ -64,6 +65,7 @@ class Separator:
             segment=segment, jobs=jobs, progress=progress, callback=callback,
             callback_arg=callback_arg, batch_size=batch_size, engine=engine,
             transfer_dtype=transfer_dtype,
+            length_bucket_seconds=length_bucket_seconds,
         )
 
     def update_parameter(
@@ -80,6 +82,7 @@ class Separator:
         batch_size=NotProvided,
         engine=NotProvided,
         transfer_dtype=NotProvided,
+        length_bucket_seconds=NotProvided,
     ):
         """Update separation parameters (api.py:124-201)."""
         if not isinstance(device, _NotProvided):
@@ -106,6 +109,8 @@ class Separator:
             self._engine = engine
         if not isinstance(transfer_dtype, _NotProvided):
             self._transfer_dtype = transfer_dtype
+        if not isinstance(length_bucket_seconds, _NotProvided):
+            self._length_bucket_seconds = length_bucket_seconds
 
     def _load_model(self):
         self._model = get_model(name=self._name, repo=self._repo)
@@ -150,6 +155,7 @@ class Separator:
             batch_size=self._batch_size,
             engine=self._engine,
             transfer_dtype=self._transfer_dtype,
+            length_bucket_seconds=self._length_bucket_seconds,
         )
         out = out * (std + 1e-8) + mean
         wav = wav * (std + 1e-8) + mean
@@ -195,6 +201,7 @@ class Separator:
             overlap=self._overlap, progress=self._progress,
             batch_size=self._batch_size, engine=self._engine,
             transfer_dtype=self._transfer_dtype,
+            length_bucket_seconds=self._length_bucket_seconds,
         )
         for i, out in enumerate(it):
             file, wav, mean, std = meta[i]

@@ -164,6 +164,7 @@ def apply_model(
     batch_size: int = 16,
     engine: str = "auto",
     transfer_dtype: tp.Optional[str] = "float16",
+    length_bucket_seconds: tp.Optional[float] = None,
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
 
@@ -218,6 +219,7 @@ def apply_model(
                 shifts=shifts, overlap=overlap, transition_power=transition_power,
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
+                length_bucket_seconds=length_bucket_seconds,
                 mesh=auto_mesh(),
             )
     if rng is None:

@@ -73,6 +73,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--engine", default="auto", choices=["auto", "host", "device"],
                         help="Separation engine: device = on-chip overlap-add "
                         "with one fetch per track (fastest on TPU).")
+    parser.add_argument("--length-bucket", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Quantize track lengths to this bucket on the "
+                        "device engine so variable-length tracks share one "
+                        "compiled executable (deviation confined to the "
+                        "final chunk; recommended for batch serving, e.g. 30).")
     parser.add_argument("--wire", default="auto",
                         choices=["auto", "float32", "float16", "int16"],
                         help="Wire format of the device engine's stems fetch. "
@@ -123,6 +129,7 @@ def main(opts=None):
             batch_size=args.batch_size,
             engine=args.engine,
             transfer_dtype=None if wire == "float32" else wire,
+            length_bucket_seconds=args.length_bucket,
         )
     except ModelLoadingError as error:
         fatal(error.args[0])
