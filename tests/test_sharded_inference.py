@@ -78,3 +78,29 @@ def test_bag_fanout_shifts_offset_order(cpu_devices):
                                 transfer_dtype=None, input_transfer_dtype=None,
                                 rng=_FixedOffsets(offsets))
     np.testing.assert_allclose(fanned, sequential, atol=5e-5, rtol=1e-4)
+
+
+def test_bag_fanout_four_members_int16_shifts(cpu_devices):
+    """htdemucs_ft-shaped: 4 homogeneous members, one per device, random
+    shifts, int16 wire — matches the sequential engine."""
+    from demucs_tpu.models.registry import BagOfModels
+
+    pairs = [make_htdemucs_pair(seed=s) for s in (0, 7, 11, 13)]
+    cfg = pairs[0][1]
+    bag = BagOfModels([Model("htdemucs", cfg, p) for _, _, p in pairs])
+
+    L = int(1.3 * bag.models[0].segment * bag.models[0].samplerate)
+    mix = random_mix((1, 2, L), seed=43)
+    offsets = [100, 900, 250, 1700]
+
+    sequential = device_apply_model(bag, mix, shifts=1, transfer_dtype="int16",
+                                    input_transfer_dtype=None,
+                                    rng=_FixedOffsets(list(offsets)))
+    mesh = make_mesh(4, platform="cpu")
+    fanned = device_apply_model(bag, mix, mesh=mesh, shifts=1,
+                                transfer_dtype="int16",
+                                input_transfer_dtype=None,
+                                rng=_FixedOffsets(list(offsets)))
+    assert fanned.shape == sequential.shape
+    scale = max(float(np.abs(sequential).max()), 1e-3)
+    assert np.abs(fanned - sequential).max() < 1e-3 * scale
