@@ -32,7 +32,7 @@ def main():
     parser.add_argument("--overlap", type=float, default=0.25)
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--transfer", default="float16",
-                        choices=["float32", "float16", "int16"],
+                        choices=["float32", "float16", "int16", "int8"],
                         help="wire format of the per-track stems fetch "
                         "(int16 == the CLI's default PCM16 output quantization)")
     parser.add_argument("--repeats", type=int, default=3)

@@ -228,7 +228,34 @@ def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
             q = jnp.round(y / scale).astype(jnp.int16)
             return tuple(q[..., a:b] for a, b in bounds), scale
         return jax.jit(fn)
+    if transfer_dtype == "int8":
+        # Block-adaptive int8: per-(source, channel, 1024-sample block)
+        # max-abs scaling -> ~48 dB SNR relative to the LOCAL signal level
+        # (quantization noise tracks the envelope). Half the wire bytes of
+        # fp16/int16; opt-in for preview/streaming-grade serving. Scales ride
+        # along as fp16 (+0.2% bytes).
+        blk = _INT8_BLOCK
+        pad = (-length) % blk
+        # re-chunk bounds on block boundaries so slices stay dequantizable
+        n_blocks = (length + pad) // blk
+        blocks_per_chunk = max(1, _FETCH_CHUNK_BYTES // (item_bytes * blk))
+        bbounds = [(i, min(n_blocks, i + blocks_per_chunk))
+                   for i in range(0, n_blocks, blocks_per_chunk)]
+
+        def fn(x, t):
+            y = normalize(x, t)
+            if pad:
+                y = jnp.pad(y, [(0, 0), (0, 0), (0, pad)])
+            yb = y.reshape(*y.shape[:-1], n_blocks, blk)
+            scale = jnp.max(jnp.abs(yb), axis=-1, keepdims=True) / 126.0 + 1e-12
+            q = jnp.round(yb / scale).astype(jnp.int8)
+            return (tuple(q[..., a:b, :] for a, b in bbounds),
+                    scale.astype(jnp.float16))
+        return jax.jit(fn)
     raise ValueError(transfer_dtype)
+
+
+_INT8_BLOCK = 1024
 
 
 @functools.lru_cache(maxsize=16)
@@ -409,8 +436,8 @@ def _dispatch_final(accum, totals, transfer_dtype, n_sources: int, C: int,
                     L: int, orig_length: int):
     """Dispatch the normalize + wire-format program (async); the returned
     tuple is blocked on by ``_gather_stems``."""
-    item_bytes = n_sources * C * (
-        2 if transfer_dtype in ("float16", "int16") else 4)
+    bytes_per = {None: 4, "float32": 4, "float16": 2, "int16": 2, "int8": 1}
+    item_bytes = n_sources * C * bytes_per[transfer_dtype]
     final = _final_fn(transfer_dtype, L, item_bytes)
     result = final(accum, jnp.asarray(totals, jnp.float32))
     return result, transfer_dtype, orig_length
@@ -434,6 +461,11 @@ def _gather_stems(result, transfer_dtype, orig_length: int) -> np.ndarray:
         pieces, scales = result
         out = np.concatenate(_fetch_pieces(pieces), axis=-1)
         out = out.astype(np.float32) * np.asarray(scales)
+    elif transfer_dtype == "int8":
+        pieces, scales = result
+        q = np.concatenate(_fetch_pieces(pieces), axis=-2)  # (S,C,blocks,blk)
+        out = q.astype(np.float32) * np.asarray(scales, np.float32)
+        out = out.reshape(*out.shape[:-2], -1)
     else:
         out = np.concatenate(_fetch_pieces(result), axis=-1)
         out = out.astype(np.float32)

@@ -80,13 +80,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "compiled executable (deviation confined to the "
                         "final chunk; recommended for batch serving, e.g. 30).")
     parser.add_argument("--wire", default="auto",
-                        choices=["auto", "float32", "float16", "int16"],
+                        choices=["auto", "float32", "float16", "int16", "int8"],
                         help="Wire format of the device engine's stems fetch. "
                         "auto = int16 when writing 16-bit PCM wav (same bytes "
                         "as float16 but peak-scaled: wire error stays below "
                         "the output format's own quantization, where float16 "
                         "is ~16 PCM LSBs near peak), else float16; "
-                        "float32 = bit-exact.")
+                        "float32 = bit-exact; int8 = half the fetch bytes at "
+                        "~44 dB SNR (block-adaptive; preview/streaming "
+                        "grade).")
     return parser
 
 

@@ -181,3 +181,18 @@ def test_pipelined_tracks_match_single(model):
     assert len(piped) == len(singles)
     for got, want in zip(piped, singles):
         np.testing.assert_array_equal(got, want)
+
+
+def test_int8_transfer_close(model):
+    """Block-adaptive int8 wire: half the fetch bytes at ~44 dB SNR (noise
+    tracks the local signal envelope) — the opt-in preview/streaming format."""
+    L = int(1.1 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=37)
+    exact = device_apply_model(model, mix, shifts=0, transfer_dtype=None,
+                               input_transfer_dtype=None)
+    i8 = device_apply_model(model, mix, shifts=0, transfer_dtype="int8",
+                            input_transfer_dtype=None)
+    assert i8.shape == exact.shape
+    err = exact - i8
+    snr = 10 * np.log10(float((exact**2).mean()) / float((err**2).mean() + 1e-30))
+    assert snr > 40, snr
