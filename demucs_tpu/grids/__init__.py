@@ -99,12 +99,15 @@ def mdx() -> Grid:
     return [base, _merged(base, {"model": "demucs", "model_args": {"dconv_mode": 3}})]
 
 
-def repro_ft(continue_from: str = "<REPRO_SIG>") -> Grid:
+def repro_ft(continue_from: str = "<REPRO_SIG>",
+             automix_wav: str = "<AUTOMIX_OUT>") -> Grid:
     """Fine-tune a completed ``repro`` XP (grids/repro_ft.py): widened EMA
-    banks, 4 epochs on the automix set (tools/automix.py) at segment 28,
+    banks, 4 epochs on the automix set (tools/automix.py output passed as
+    the extra wav set — the reference binds dset=auto_mus) at segment 28,
     lr 1e-4, model_segment 44 (the released mdx_extra-era bag segment)."""
     return [{
         "continue_from": continue_from,
+        "dset.wav": automix_wav,
         "ema.epoch": (0.9, 0.95),
         "ema.batch": (0.9995, 0.9999),
         "test.every": 1,

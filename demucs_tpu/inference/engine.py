@@ -230,7 +230,7 @@ def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
         return jax.jit(fn)
     if transfer_dtype == "int8":
         # Block-adaptive int8: per-(source, channel, 1024-sample block)
-        # max-abs scaling -> ~48 dB SNR relative to the LOCAL signal level
+        # max-abs scaling -> ~44 dB SNR relative to the LOCAL signal level
         # (quantization noise tracks the envelope). Half the wire bytes of
         # fp16/int16; opt-in for preview/streaming-grade serving. Scales ride
         # along as fp16 (+0.2% bytes).
@@ -337,11 +337,15 @@ def _dispatch_track(
     ``input_transfer_dtype="auto"`` follows ``transfer_dtype``: a bit-exact
     output request (None) implies a bit-exact (fp32) input upload."""
     if input_transfer_dtype == "auto":
-        input_transfer_dtype = None if transfer_dtype is None else "float16"
+        bit_exact = transfer_dtype in (None, "float32")
+        input_transfer_dtype = None if bit_exact else "float16"
     if rng is None:
         rng = _random
     assert mix.ndim == 3 and mix.shape[0] == 1, mix.shape
     orig_length = mix.shape[-1]
+    if length_bucket_seconds is not None and length_bucket_seconds <= 0:
+        raise ValueError(
+            f"length_bucket_seconds must be positive, got {length_bucket_seconds}")
     if length_bucket_seconds:
         # Quantize track length so one compiled pass serves many tracks
         # (compiles cost 25-70 s on this deployment). The right-zero padding

@@ -181,12 +181,7 @@ def _sparse_mask(s: "TransformerSpec", Tq: int, Tk: int):
                     s.mask_random_seed, s.sparsity)
 
 
-def _dropout(rng: tp.Optional[jax.Array], x: jax.Array, rate: float) -> jax.Array:
-    """Inverted dropout; identity when rng is None (eval) or rate == 0."""
-    if rng is None or rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return x * keep.astype(x.dtype) / (1.0 - rate)
+from demucs_tpu.ops.attention import apply_dropout as _dropout  # noqa: E402
 
 
 def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
@@ -205,7 +200,13 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     else:
         out = multihead_attention(qh, kh, vh, num_heads, mask=mask,
                                   dropout_rng=rng, dropout=dropout)
-    return onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+    out = onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+    if mask is not None:
+        # the sparse path's custom MHA also drops after the out-projection
+        # (reference transformer.py:747,798 proj_drop)
+        out = _dropout(None if rng is None else jax.random.fold_in(rng, 1),
+                       out, dropout)
+    return out
 
 
 def _ff(p: dict, x: jax.Array, act, rng=None, dropout: float = 0.0) -> jax.Array:

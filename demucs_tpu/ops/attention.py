@@ -26,6 +26,14 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return jnp.transpose(x.reshape(B, T, num_heads, C // num_heads), (0, 2, 1, 3))
 
 
+def apply_dropout(rng, x, rate: float):
+    """Inverted dropout; identity when rng is None (eval) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
 def multihead_attention(
     q: jax.Array,
     k: jax.Array,
@@ -55,9 +63,7 @@ def multihead_attention(
     if mask is not None:
         scores = jnp.where(jnp.asarray(mask)[None, None], scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
-    if dropout_rng is not None and dropout > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, weights.shape)
-        weights = weights * keep.astype(weights.dtype) / (1.0 - dropout)
+    weights = apply_dropout(dropout_rng, weights, dropout)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
     out = out.astype(q.dtype)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Tq, C)
