@@ -75,11 +75,13 @@ def _frame(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
 
 
 # STFT/iSTFT inner transform: "fft" = jnp.fft (XLA butterfly, VPU-bound on
-# TPU) or "matmul" = dense DFT basis matmuls (MXU path; the framed DFT is a
-# (frames, n_fft) @ (n_fft, freqs) contraction — per the BASELINE north star).
-# None = resolve lazily: matmul on accelerators (+15% full-forward throughput
-# on v5e), fft on CPU where the dense basis loses. Set to "fft"/"matmul" to
-# pin globally.
+# TPU), "matmul" = dense DFT basis matmuls (MXU path; the framed DFT is a
+# (frames, n_fft) @ (n_fft, freqs) contraction), or "pallas" = the fused
+# Pallas kernel (ops/pallas/stft.py — same chunk-matmul math in one
+# VMEM-resident pass; the BASELINE north star's STFT-as-TPU-kernel, measured
+# at parity with the XLA matmul path on v5e). None = resolve lazily: matmul
+# on accelerators (+15% full-forward throughput over fft on v5e), fft on CPU
+# where the dense basis loses. Set to "fft"/"matmul"/"pallas" to pin.
 DEFAULT_METHOD: tp.Optional[str] = None
 
 
@@ -137,7 +139,18 @@ def stft(
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    if method == "matmul" and n_fft % hop == 0:
+    if method == "pallas" and n_fft % hop == 0:
+        # Pallas fused kernel — same chunk-matmul DFT math, one VMEM-resident
+        # pass per (frame-block, freq-block) cell (ops/pallas/stft.py).
+        from demucs_tpu.ops.pallas.stft import stft_chunk_dft
+
+        L = x.shape[-1]
+        lead = x.shape[:-1]
+        n_chunks = L // hop
+        y = x[..., : n_chunks * hop].reshape(-1, n_chunks, hop)
+        zr, zi = stft_chunk_dft(y.astype(jnp.float32), n_fft, hop)
+        z = jax.lax.complex(zr, zi).reshape(*lead, zr.shape[-2], zr.shape[-1])
+    elif method == "matmul" and n_fft % hop == 0:
         # Fused chunk-matmul DFT: never materialize the overlapped frames.
         # With r = n_fft/hop, frame t = chunks [t, t+r), so
         # Z[t] = sum_j chunks[t+j] @ G_j with G_j the windowed DFT basis rows
@@ -233,7 +246,16 @@ def istft(
     zt = jnp.swapaxes(z, -1, -2)  # (..., n_frames, freqs)
     if normalized:
         zt = zt * math.sqrt(n_fft)
-    if method == "matmul" and n_fft % hop == 0:
+    if method == "pallas" and n_fft % hop == 0:
+        from demucs_tpu.ops.pallas.stft import istft_chunk_dft
+
+        lead = zt.shape[:-2]
+        freqs = zt.shape[-1]
+        zf = zt.reshape(-1, n_frames, freqs)
+        y = istft_chunk_dft(zf.real.astype(jnp.float32),
+                            zf.imag.astype(jnp.float32), n_fft, hop)
+        y = y.reshape(*lead, y.shape[-1])
+    elif method == "matmul" and n_fft % hop == 0:
         # Fused matmul iDFT + overlap-add: out_chunk[c] = sum_j Z[c-j] @ M_j
         # with M_j the windowed inverse-basis columns for chunk j. Shifted
         # matmul accumulation — the windowed frames are never materialized.
