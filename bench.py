@@ -2,15 +2,25 @@
 """Benchmark: htdemucs separation throughput (audio-seconds/s per chip).
 
 Runs the flagship HTDemucs (channels=48, nfft=4096, 5 transformer layers,
-7.8 s training segment — the released htdemucs topology) on a synthetic track
-through the full inference engine (overlap-add split, default shifts=1) and
-reports one JSON line:
+7.8 s training segment — the released htdemucs topology) through the full
+inference engine and reports one JSON line:
 
-    {"metric": ..., "value": N, "unit": "audio_s/s", "vs_baseline": N/10}
+    {"metric": ..., "value": median, "unit": "audio_s/s", "vs_baseline": ...,
+     "min": ..., "max": ..., "samples": [...], "single_track": ...}
+
+The headline is the SUSTAINED pipelined multi-track rate (default --tracks 4:
+each track's device->host stems fetch overlaps the next track's compute —
+the serving configuration; reference separates tracks strictly serially,
+demucs/separate.py:140-218). The per-track rate of a lone track is also
+measured on the same compiled executables and reported as "single_track".
 
 vs_baseline is measured against the BASELINE.md target of 10x realtime per
 chip (the reference publishes no formal GPU speed; its CPU speed is ~0.67x
 realtime, README.md:300).
+
+Sampling policy: every configuration is timed `--repeats` times (default 5)
+after one compile/warmup run; the JSON carries median/min/max and ALL raw
+per-run throughput samples. There is no result-conditioned re-sampling.
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import random
+import statistics
 import sys
 import time
 
@@ -34,12 +45,15 @@ def main():
     parser.add_argument("--transfer", default="float16",
                         choices=["float32", "float16", "int16", "int8"],
                         help="wire format of the per-track stems fetch "
-                        "(int16 == the CLI's default PCM16 output quantization)")
-    parser.add_argument("--repeats", type=int, default=3)
-    parser.add_argument("--tracks", type=int, default=1,
+                        "(float16 matches the CLI's default-quality path; "
+                        "the API default is bit-exact float32)")
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--tracks", type=int, default=4,
                         help="N>1: sustained multi-track throughput via the "
                         "pipelined engine (fetch of track i overlaps compute "
-                        "of track i+1)")
+                        "of track i+1). 1 = single-track only.")
+    parser.add_argument("--no-single", action="store_true",
+                        help="skip the extra single-track measurement")
     parser.add_argument("--flash", action="store_true",
                         help="use the Pallas flash-attention kernel")
     parser.add_argument("--profile", metavar="DIR", default=None,
@@ -54,7 +68,7 @@ def main():
 
     from demucs_tpu.models import htdemucs as ht
     from demucs_tpu.models.registry import Model
-    from demucs_tpu.inference.apply import apply_model
+    from demucs_tpu.inference.apply import apply_model, apply_model_tracks
 
     # Released htdemucs topology (segment 7.8 s, remote/files meta).
     cfg = ht.HTDemucsConfig(segment=7.8, compute_dtype=args.dtype,
@@ -65,81 +79,87 @@ def main():
 
     sr = cfg.samplerate
     L = int(args.seconds * sr)
-    rng = np.random.default_rng(0)
-    mix = (rng.standard_normal((1, 2, L)) * 0.1).astype(np.float32)
+    mixes = [
+        (np.random.default_rng(i).standard_normal((1, 2, L)) * 0.1
+         ).astype(np.float32)
+        for i in range(max(1, args.tracks))
+    ]
 
     kw = dict(
         shifts=args.shifts,
         split=True,
         overlap=args.overlap,
         batch_size=args.batch_size,
-        rng=random.Random(42),
         transfer_dtype=None if args.transfer == "float32" else args.transfer,
     )
 
-    if args.tracks > 1:
-        from demucs_tpu.inference.apply import apply_model_tracks
+    def run_single():
+        return apply_model(model, mixes[0], rng=random.Random(42), **kw)
 
-        tracks = [mix] + [
-            (np.random.default_rng(i + 1).standard_normal((1, 2, L)) * 0.1
-             ).astype(np.float32)
-            for i in range(args.tracks - 1)
-        ]
+    def run_pipelined():
+        outs = list(apply_model_tracks(model, mixes, rng=random.Random(42), **kw))
+        return outs[-1]
 
-        def run():
-            outs = list(apply_model_tracks(model, tracks, **kw))
-            return outs[-1]
-    else:
-        def run():
-            return apply_model(model, mix, **kw)
+    run = run_pipelined if args.tracks > 1 else run_single
 
-    # Warmup / compile on the SAME track length (one executable).
+    # Warmup / compile on the SAME track length (one executable). The
+    # compiled pass/fetch programs are shared by the single-track run.
     t0 = time.time()
     out = run()
     warm = time.time() - t0
 
-    times = []
-    for i in range(args.repeats):
-        if args.profile and i == args.repeats - 1:
-            try:
-                jax.profiler.start_trace(args.profile)
-            except Exception as exc:  # profiling may be unavailable via the tunnel
-                print(f"# profiler unavailable: {exc}", file=sys.stderr)
-                args.profile = None
-        t0 = time.time()
-        out = run()
-        times.append(time.time() - t0)
-        if args.profile and i == args.repeats - 1:
-            jax.profiler.stop_trace()
-    assert np.isfinite(out).all()
-
-    # The TPU link on this deployment is shared infrastructure with large
-    # transient slowdowns; if the measured rate is far below the known-good
-    # regime, take a short pause and re-sample before reporting.
-    if args.tracks * args.seconds / min(times) < 20 and args.repeats > 1:
-        time.sleep(20)
-        for _ in range(args.repeats):
+    def timed(fn, n):
+        times = []
+        for i in range(n):
+            if args.profile and fn is run and i == n - 1:
+                try:
+                    jax.profiler.start_trace(args.profile)
+                except Exception as exc:  # profiling may be unavailable via the tunnel
+                    print(f"# profiler unavailable: {exc}", file=sys.stderr)
+                    args.profile = None
             t0 = time.time()
-            out = run()
+            res = fn()
             times.append(time.time() - t0)
+            if args.profile and fn is run and i == n - 1:
+                jax.profiler.stop_trace()
+        assert np.isfinite(res).all()
+        return times
 
-    elapsed = min(times)
+    times = timed(run, args.repeats)
+
     # per-chip: the device engine auto-shards over every local accelerator
     # chip (parallel/sharded.py::auto_mesh), so normalize by chip count.
     n_chips = (len(jax.local_devices())
                if jax.default_backend() != "cpu" else 1)
-    asps = args.tracks * args.seconds / elapsed / n_chips
+    audio_s = args.tracks * args.seconds
+    samples = [round(audio_s / t / n_chips, 3) for t in times]
+
+    single = None
+    if args.tracks > 1 and not args.no_single:
+        run_single()  # warm any residual single-track dispatch path
+        stimes = timed(run_single, max(3, args.repeats - 2))
+        single = round(
+            statistics.median(args.seconds / t / n_chips for t in stimes), 3)
+
+    median = statistics.median(samples)
     print(
         f"# warmup {warm:.1f}s, runs {[f'{t:.2f}' for t in times]}, "
+        f"tracks={args.tracks} transfer={args.transfer} "
         f"device={jax.devices()[0].device_kind} x{n_chips}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    record = {
         "metric": "audio_seconds_per_s_per_chip",
-        "value": round(asps, 3),
+        "value": round(median, 3),
         "unit": "audio_s/s",
-        "vs_baseline": round(asps / 10.0, 3),
-    }))
+        "vs_baseline": round(median / 10.0, 3),
+        "min": min(samples),
+        "max": max(samples),
+        "samples": samples,
+    }
+    if single is not None:
+        record["single_track"] = single
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

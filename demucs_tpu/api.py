@@ -32,6 +32,33 @@ class _NotProvided:
 NotProvided = _NotProvided()
 
 
+def _resolve_device(device: str):
+    """Map a reference-style ``device`` name to a JAX device (or None for
+    "auto"). "cpu" forces CPU execution via a ``jax.default_device`` scope;
+    unavailable backends raise instead of being silently ignored."""
+    if device in (None, "auto"):
+        return None
+    import jax
+
+    platform = {"cuda": "gpu"}.get(device, device)
+    try:
+        return jax.devices(platform)[0]
+    except RuntimeError as err:
+        raise ValueError(
+            f"device {device!r} is not available in this JAX install: {err}"
+        ) from err
+
+
+def _device_scope(jax_device):
+    if jax_device is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.default_device(jax_device)
+
+
 class Separator:
     def __init__(
         self,
@@ -48,14 +75,19 @@ class Separator:
         callback_arg: tp.Optional[dict] = None,
         batch_size: int = 16,
         engine: str = "auto",
-        transfer_dtype: tp.Optional[str] = "float16",
+        transfer_dtype: tp.Optional[str] = None,
         length_bucket_seconds: tp.Optional[float] = None,
     ):
         """Load a model by name and hold separation parameters.
 
-        Parameters mirror ``demucs/api.py:53-122`` (``device``/``jobs`` are
-        accepted for compatibility; placement is JAX-managed and parallelism
-        comes from segment batching, tuned with ``batch_size``).
+        Parameters mirror ``demucs/api.py:53-122`` (``jobs`` is accepted for
+        compatibility; parallelism comes from segment batching, tuned with
+        ``batch_size``). ``device``: "auto" (default) lets JAX place work on
+        the best available backend; "cpu" forces CPU execution; any other
+        name must match an available JAX backend or loading raises.
+        ``transfer_dtype`` defaults to bit-exact (None) on every backend;
+        pass "float16"/"int16"/"int8" to trade wire bytes for sub-PCM16
+        error on slow host links (the CLI's ``--wire auto`` does).
         """
         self._name = model
         self._repo = repo
@@ -87,6 +119,7 @@ class Separator:
         """Update separation parameters (api.py:124-201)."""
         if not isinstance(device, _NotProvided):
             self._device = device
+            self._jax_device = _resolve_device(device)
         if not isinstance(shifts, _NotProvided):
             self._shifts = shifts
         if not isinstance(overlap, _NotProvided):
@@ -142,21 +175,22 @@ class Separator:
         wav = (wav - mean) / (std + 1e-8)
         callback_arg = dict(self._callback_arg or {})
         callback_arg["audio_length"] = wav.shape[1]
-        out = apply_model(
-            self._model,
-            wav[None],
-            segment=self._segment,
-            shifts=self._shifts,
-            split=self._split,
-            overlap=self._overlap,
-            callback=self._callback,
-            callback_arg=callback_arg,
-            progress=self._progress,
-            batch_size=self._batch_size,
-            engine=self._engine,
-            transfer_dtype=self._transfer_dtype,
-            length_bucket_seconds=self._length_bucket_seconds,
-        )
+        with _device_scope(self._jax_device):
+            out = apply_model(
+                self._model,
+                wav[None],
+                segment=self._segment,
+                shifts=self._shifts,
+                split=self._split,
+                overlap=self._overlap,
+                callback=self._callback,
+                callback_arg=callback_arg,
+                progress=self._progress,
+                batch_size=self._batch_size,
+                engine=self._engine,
+                transfer_dtype=self._transfer_dtype,
+                length_bucket_seconds=self._length_bucket_seconds,
+            )
         out = out * (std + 1e-8) + mean
         wav = wav * (std + 1e-8) + mean
         return (wav, dict(zip(self._model.sources, out[0])))
@@ -173,9 +207,14 @@ class Separator:
         track's compute (and the next file's decode happens while the device
         works), so batch separation approaches max(compute, wire) per track
         instead of their sum. Numerics identical to ``separate_audio_file``.
-        The per-chunk callback protocol is not threaded through here — use
-        ``separate_audio_file`` when a callback is set.
+        The per-chunk callback protocol is not threaded through here —
+        raises when a callback is configured (use ``separate_audio_file``).
         """
+        if self._callback is not None:
+            raise ValueError(
+                "separate_audio_files does not invoke per-chunk callbacks; "
+                "use separate_audio_file per file, or clear the callback via "
+                "update_parameter(callback=None)")
         meta: tp.List[tuple] = []
         load_error: tp.List[BaseException] = []
 
@@ -195,18 +234,19 @@ class Separator:
                 meta.append((file, wav, mean, std))
                 yield ((wav - mean) / (std + 1e-8))[None]
 
-        it = apply_model_tracks(
-            self._model, _mixes(),
-            segment=self._segment, shifts=self._shifts, split=self._split,
-            overlap=self._overlap, progress=self._progress,
-            batch_size=self._batch_size, engine=self._engine,
-            transfer_dtype=self._transfer_dtype,
-            length_bucket_seconds=self._length_bucket_seconds,
-        )
-        for i, out in enumerate(it):
-            file, wav, mean, std = meta[i]
-            out = out * (std + 1e-8) + mean
-            yield file, wav, dict(zip(self._model.sources, out[0]))
+        with _device_scope(self._jax_device):
+            it = apply_model_tracks(
+                self._model, _mixes(),
+                segment=self._segment, shifts=self._shifts, split=self._split,
+                overlap=self._overlap, progress=self._progress,
+                batch_size=self._batch_size, engine=self._engine,
+                transfer_dtype=self._transfer_dtype,
+                length_bucket_seconds=self._length_bucket_seconds,
+            )
+            for i, out in enumerate(it):
+                file, wav, mean, std = meta[i]
+                out = out * (std + 1e-8) + mean
+                yield file, wav, dict(zip(self._model.sources, out[0]))
         if load_error:
             raise load_error[0]
 

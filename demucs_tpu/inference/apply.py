@@ -31,9 +31,18 @@ __all__ = ["apply_model"]
 
 
 def _accelerator_backend() -> bool:
+    """True when computations will land on an accelerator by default.
+
+    Respects ``jax_default_device`` (set by ``jax.default_device(...)``
+    scopes, e.g. ``Separator(device="cpu")``), falling back to the platform
+    priority order."""
     import jax
 
     try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            platform = dev if isinstance(dev, str) else dev.platform
+            return platform != "cpu"
         return jax.default_backend() != "cpu"
     except RuntimeError:
         return False
@@ -163,7 +172,7 @@ def apply_model(
     rng: tp.Optional[_random.Random] = None,
     batch_size: int = 16,
     engine: str = "auto",
-    transfer_dtype: tp.Optional[str] = "float16",
+    transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
@@ -177,7 +186,10 @@ def apply_model(
     per track (demucs_tpu.inference.engine); "auto" picks the device engine on
     accelerator backends when semantics allow (split mode, single track, no
     per-chunk callback, HTDemucs-family uniform padding targets).
-    ``transfer_dtype`` applies to the device engine's single final fetch.
+    ``transfer_dtype`` applies to the device engine's single final fetch. The
+    default (None) is BIT-EXACT on every backend — reduced-precision wires
+    ("float16"/"int16"/"int8", all well below PCM16 error) are opt-in, as in
+    the CLI's ``--wire auto``.
 
     Non-HT kinds (hdemucs/demucs) are supported by the device engine as an
     explicit opt-in (``engine="device"``): every chunk runs at the uniform
@@ -375,7 +387,7 @@ def apply_model_tracks(
     rng: tp.Optional[_random.Random] = None,
     batch_size: int = 16,
     engine: str = "auto",
-    transfer_dtype: tp.Optional[str] = "float16",
+    transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
 ) -> tp.Iterator[np.ndarray]:
     """Pipelined multi-track ``apply_model``: yields ``(1, S, C, L)`` stems per
@@ -426,4 +438,5 @@ def apply_model_tracks(
             model, mix, shifts=shifts, split=split, overlap=overlap,
             transition_power=transition_power, progress=progress,
             segment=segment, rng=rng, batch_size=batch_size, engine=engine,
-            transfer_dtype=transfer_dtype)
+            transfer_dtype=transfer_dtype,
+            length_bucket_seconds=length_bucket_seconds)

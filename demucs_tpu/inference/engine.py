@@ -274,14 +274,15 @@ def device_apply_model(
     model: tp.Union[Model, BagOfModels],
     mix: np.ndarray,
     *,
-    transfer_dtype: tp.Optional[str] = "float16",
+    transfer_dtype: tp.Optional[str] = None,
     **kw,
 ) -> np.ndarray:
     """Separate ``mix (1, C, L)`` fully on device -> ``(1, S, C, L)`` float32.
 
-    Matches ``apply_model(split=True)`` numerics; the only approximation is the
-    optional reduced-precision wire format for the single final fetch
-    (``transfer_dtype``), which is well below stem PCM quantization.
+    Matches ``apply_model(split=True)`` numerics bit-exactly by default; the
+    only approximation is the OPT-IN reduced-precision wire format for the
+    single final fetch (``transfer_dtype``), which is well below stem PCM
+    quantization.
     """
     pending = _dispatch_track(model, mix, transfer_dtype=transfer_dtype, **kw)
     return _gather_stems(*pending)
@@ -291,7 +292,7 @@ def device_separate_tracks(
     model: tp.Union[Model, BagOfModels],
     tracks: tp.Iterable[np.ndarray],
     *,
-    transfer_dtype: tp.Optional[str] = "float16",
+    transfer_dtype: tp.Optional[str] = None,
     **kw,
 ) -> tp.Iterator[np.ndarray]:
     """Pipelined multi-track separation: yields stems per track, overlapping
@@ -324,7 +325,7 @@ def _dispatch_track(
     segment: tp.Optional[float] = None,
     batch_size: int = 16,
     rng: tp.Optional[_random.Random] = None,
-    transfer_dtype: tp.Optional[str] = "float16",
+    transfer_dtype: tp.Optional[str] = None,
     input_transfer_dtype: tp.Optional[str] = "auto",
     progress: bool = False,
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
@@ -382,6 +383,12 @@ def _dispatch_track(
         and mesh.devices.size == len(models)
     )
     if fan_out:
+        if progress:
+            # All bag members run concurrently in one dispatch — there is no
+            # per-model step to animate; emit a single status line instead.
+            print(f"fan-out: {len(models)} bag models x {max(1, shifts)} "
+                  f"shift pass(es) dispatched concurrently over "
+                  f"{mesh.devices.size} devices", flush=True)
         accum, totals = _bag_fanout_passes(
             models, weights, mix, mesh, shifts=shifts, overlap=overlap,
             transition_power=transition_power, segment=segment,

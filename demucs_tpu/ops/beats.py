@@ -57,6 +57,9 @@ def _estimate_tempo(env: np.ndarray, sr: int, hop: int,
     bpms = 60.0 * frames_per_sec / lags
     valid = (bpms >= 30) & (bpms <= 300)
     lags, bpms = lags[valid], bpms[valid]
+    if len(lags) == 0:
+        # Input too short for any lag in the 30-300 BPM window.
+        return start_bpm
     prior = np.exp(-0.5 * ((np.log2(bpms / start_bpm)) / 1.0) ** 2)
     return float(bpms[np.argmax(ac[lags] * prior)])
 

@@ -36,7 +36,14 @@ def auto_mesh():
     from jax.sharding import Mesh
 
     try:
-        if jax.default_backend() == "cpu":
+        default = jax.config.jax_default_device
+        if default is not None:
+            # An explicit default device (e.g. Separator(device="cpu"))
+            # pins execution there; don't build an accelerator mesh.
+            platform = default if isinstance(default, str) else default.platform
+            if platform == "cpu":
+                return None
+        elif jax.default_backend() == "cpu":
             return None
         devs = jax.local_devices()
     except RuntimeError:
