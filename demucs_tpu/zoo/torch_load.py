@@ -102,18 +102,28 @@ def config_from_torch_kwargs(klass_name: str, args: tuple, kwargs: dict):
 def load_th_model(path) -> tp.Tuple[tp.Any, str, dict]:
     """Load a reference ``.th`` package -> (config, kind, params pytree).
 
-    Requires torch (CPU) for unpickling. Quantized (diffq) states are not
-    supported yet.
-    """
-    import torch
+    HERMETIC: parses the torch zip container + pickle stream directly
+    (:mod:`demucs_tpu.zoo.thpickle`) — no torch import, no ``demucs`` package
+    import, no code execution from the (downloaded, untrusted) file. The
+    pickled model class global resolves to an inert name stub; tensors come
+    back as numpy. Format spec: ``demucs/states.py:50-132``.
 
-    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    diffq-quantized states (``__quantized``) are dequantized via
+    :mod:`demucs_tpu.zoo.diffq`.
+    """
+    from demucs_tpu.zoo.thpickle import read_th
+
+    pkg = read_th(path)
     state = pkg["state"]
-    if state.get("__quantized"):
-        raise NotImplementedError("diffq-quantized checkpoints not supported yet")
-    klass_name = pkg["klass"].__name__ if not isinstance(pkg["klass"], str) else pkg["klass"]
+    klass = pkg["klass"]
+    klass_name = klass if isinstance(klass, str) else klass.__name__
     cfg, kind = config_from_torch_kwargs(klass_name, pkg.get("args", ()), pkg.get("kwargs", {}))
-    flat = {k: v.numpy() for k, v in state.items()}
+    if state.get("__quantized"):
+        from demucs_tpu.zoo.diffq import dequantize_state
+
+        flat = dequantize_state(state, kind, cfg)
+    else:
+        flat = {k: np.asarray(v) for k, v in state.items()}
     if kind == "demucs":
         flat = _demucs_v2_rename_shim(flat, cfg.depth)
     params = nest_state(flat)
