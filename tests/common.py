@@ -50,3 +50,42 @@ def make_htdemucs_pair(extra=None, seed=0):
 def random_mix(shape, seed=0, scale=0.1):
     rng = np.random.default_rng(seed)
     return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+# Released (shipped-width) topologies, per the reference's training recipes:
+# htdemucs = the mmi grid recipe (grids/mmi.py:20-50: t_layers 5, dconv_mode 3,
+# bottom_channels 512) at the exported 7.8 s segment (tools/export.py:53-56);
+# hdemucs/demucs = conf/config.yaml:95-165 defaults (channels 48 / 64, the
+# mdx-era widths). Used by the full-width parity tests and tools/compare_ref.
+FULL_KWARGS = {
+    "htdemucs": dict(channels=48, depth=4, nfft=4096, t_layers=5, t_heads=8,
+                     dconv_mode=3, bottom_channels=512, segment=7.8,
+                     samplerate=44100),
+    "hdemucs": dict(channels=48, depth=6, nfft=4096, samplerate=44100),
+    "demucs": dict(channels=64, depth=6, samplerate=44100),
+}
+
+
+def make_full_pair(family: str, seed: int = 0):
+    """(torch reference model, our cfg, bridged params) at FULL released
+    width. Heavy: only for tests marked ``full``."""
+    ref = import_reference()
+    kwargs = dict(FULL_KWARGS[family])
+    torch.manual_seed(seed)
+    if family == "htdemucs":
+        from demucs_tpu.models import htdemucs as jm
+
+        tmodel = ref.htdemucs.HTDemucs(SOURCES, **kwargs).eval()
+        cfg = jm.HTDemucsConfig(sources=tuple(SOURCES), **kwargs)
+    elif family == "hdemucs":
+        from demucs_tpu.models import hdemucs as jm
+
+        tmodel = ref.hdemucs.HDemucs(SOURCES, **kwargs).eval()
+        cfg = jm.HDemucsConfig(sources=tuple(SOURCES), **kwargs)
+    else:
+        from demucs_tpu.models import demucs as jm
+
+        tmodel = ref.demucs.Demucs(SOURCES, **kwargs).eval()
+        cfg = jm.DemucsConfig(sources=tuple(SOURCES), **kwargs)
+    params = torch_state_to_params(tmodel)
+    return tmodel, cfg, params

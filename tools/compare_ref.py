@@ -33,7 +33,11 @@ def main():
     parser.add_argument("--th", type=str, help="reference .th checkpoint")
     parser.add_argument("--wav", type=str, help="input wav (else synthetic noise)")
     parser.add_argument("--random", action="store_true",
-                        help="compare random-weight htdemucs pair")
+                        help="compare random-weight htdemucs pair (reduced width)")
+    parser.add_argument("--full", choices=["htdemucs", "hdemucs", "demucs"],
+                        help="compare a FULL released-width random-weight pair "
+                        "(htdemucs: ch 48 / nfft 4096 / 7.8 s / 5 layers / "
+                        "bottom_channels 512)")
     parser.add_argument("--seconds", type=float, default=None)
     args = parser.parse_args()
 
@@ -47,7 +51,12 @@ def main():
 
     from demucs_tpu.train.solver import model_forward_fn
 
-    if args.random or not args.th:
+    if args.full:
+        from common import make_full_pair
+
+        tmodel, cfg, params = make_full_pair(args.full)
+        kind = args.full
+    elif args.random or not args.th:
         from common import make_htdemucs_pair
 
         tmodel, cfg, params = make_htdemucs_pair()
