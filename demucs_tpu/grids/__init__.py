@@ -89,14 +89,88 @@ def repro() -> Grid:
 
 
 def mdx() -> Grid:
-    """MDX competition track A recipe skeleton (grids/mdx.py)."""
+    """MDX competition Track A recipe (grids/mdx.py + docs/training.md:
+    Track A = time-only and hybrid 48/64-ch models on MusDB-HQ, segment 11,
+    SVD penalty + residual branches + local attention for the time-only
+    pair, CaC and mag+Wiener for the hybrid pair), each also launched with
+    the DiffQ penalties that produced the ``mdx_q`` bag.
+
+    The reference grid resolves each released signature's exact argv from
+    its private Dora XP database (outputs.tar.gz); that genealogy is not
+    portable, so this grid encodes the published recipe."""
     base = {
         "epochs": 360,
-        "model": "hdemucs",
         "dset.segment": 11,
         "ema.batch": (0.9995,),
+        "svd.penalty": 1e-5,
     }
-    return [base, _merged(base, {"model": "demucs", "model_args": {"dconv_mode": 3}})]
+    time_only = _merged(base, {
+        "model": "demucs", "model_args": {"dconv_mode": 3}})
+    hybrid_cac = _merged(base, {"model": "hdemucs", "model_args": {}})
+    hybrid_wiener = _merged(base, {
+        "model": "hdemucs",
+        "model_args": {"cac": False, "wiener_iters": 0, "end_iters": 0}})
+    bases = [time_only, _merged(time_only, {"seed": 43}), hybrid_cac,
+             hybrid_wiener]
+    grid: Grid = []
+    for xp in bases:
+        grid.append(xp)
+        for diffq in (1e-4, 3e-4):  # the mdx_q quantized variants
+            grid.append(_merged(xp, {"quant.diffq": diffq}))
+    return grid
+
+
+def mdx_extra() -> Grid:
+    """MDX Track B recipe (grids/mdx_extra.py): the Track A bases retrained
+    on the extra-data presets — ``dset=extra44`` and ``dset=extra_test``
+    (musdb test folded into training) — with DiffQ variants on extra_test
+    (the ``mdx_extra_q`` bag)."""
+    grid: Grid = []
+    for xp in mdx():
+        if "quant.diffq" in xp:
+            continue  # quant variants re-attached per-dset below
+        for dset in ("extra44", "extra_test"):
+            entry = _merged({"dset": dset}, xp)
+            grid.append(entry)
+            if dset == "extra_test":
+                for diffq in (1e-4, 3e-4):
+                    grid.append(_merged(entry, {"quant.diffq": diffq}))
+    return grid
+
+
+def mdx_refine(mdx_sigs: tp.Sequence[str] = ("<MDX_SIG_1>", "<MDX_SIG_2>",
+                                             "<MDX_SIG_3>", "<MDX_SIG_4>")) -> Grid:
+    """MDX fine-tuning round (grids/mdx_refine.py): each completed ``mdx``
+    XP is continued on the automix set, plus DiffQ-quantized continuations
+    (requires the base quantized XPs complete, as the reference asserts)."""
+    refine = {
+        "dset": "auto_mus",
+        "continue_best": True,
+        "optim.lr": 1e-4,
+        "epochs": 4,
+        "dset.segment": 28,
+        "dset.shift": 2,
+        "batch_size": 16,
+        "ema.epoch": (0.9, 0.95),
+        "ema.batch": (0.9995, 0.9999),
+        "test.every": 1,
+    }
+    grid: Grid = []
+    for sig in mdx_sigs:
+        grid.append(_merged(refine, {"continue_from": sig}))
+        for diffq in (1e-4, 3e-4):
+            grid.append(_merged(refine, {"continue_from": sig,
+                                         "quant.diffq": diffq}))
+    return grid
+
+
+def sdx23() -> Grid:
+    """SDX 2023 challenge grid (grids/sdx23.py): default htdemucs trained on
+    the MoisesDB bleeding / labelnoise sets, musdb excluded."""
+    return [
+        {"dset": "sdx23_bleeding", "dset.use_musdb": False},
+        {"dset": "sdx23_labelnoise", "dset.use_musdb": False},
+    ]
 
 
 def repro_ft(continue_from: str = "<REPRO_SIG>",
@@ -124,30 +198,81 @@ def repro_ft(continue_from: str = "<REPRO_SIG>",
     }]
 
 
-# Not ported (documented gaps): grids/mdx_refine.py and grids/mdx_extra.py
-# re-launch completed MDX XPs with diffq quantization (diffq is gated — no
-# installable package/spec, COVERAGE.md §2.5) and the `extra44`/`extra_test`
-# private datasets; grids/sdx23.py targets the SDX23 private data.
-
-
 GRIDS: tp.Dict[str, tp.Callable[[], Grid]] = {
     "mmi": mmi,
     "mmi_ft": mmi_ft,
     "repro": repro,
     "repro_ft": repro_ft,
     "mdx": mdx,
+    "mdx_extra": mdx_extra,
+    "mdx_refine": mdx_refine,
+    "sdx23": sdx23,
 }
 
 
+def resolve(name: str, extra: tp.Optional[dict] = None) -> Grid:
+    """Grid entries with ``dset=`` presets expanded and ``extra`` overrides
+    merged in (the launcher analog of ``dora grid NAME key=value``)."""
+    from demucs_tpu.train.config import expand_presets
+
+    out = []
+    for overrides in GRIDS[name]():
+        merged = _merged(overrides, extra or {})
+        out.append(expand_presets(merged))
+    return out
+
+
 def main(argv=None) -> None:
+    """``python -m demucs_tpu.grids NAME [--run N] [key=value ...]``.
+
+    Without ``--run``: print every entry's XP signature and overrides (the
+    ``dora grid NAME --dry_run`` analog). With ``--run N``: execute entry N
+    via the training entry point in-process (one XP, auto-resuming from its
+    ``{out_dir}/xps/{sig}`` folder). Extra ``key=value`` tokens are merged
+    into every entry (e.g. ``dset.musdb=/data/musdbhq out_dir=/xp``)."""
     import sys
 
-    from demucs_tpu.train.config import TrainArgs, apply_overrides, xp_signature
+    from demucs_tpu.train.config import (
+        TrainArgs, apply_overrides, parse_cli_overrides, xp_signature,
+    )
 
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in GRIDS:
-        print(f"usage: python -m demucs_tpu.grids {{{','.join(GRIDS)}}}")
+        print(f"usage: python -m demucs_tpu.grids {{{','.join(GRIDS)}}} "
+              "[--run N] [key=value ...]")
         raise SystemExit(1)
-    for overrides in GRIDS[argv[0]]():
-        args = apply_overrides(TrainArgs(), overrides)
-        print(xp_signature(args), overrides)
+    name, rest = argv[0], argv[1:]
+    run_index = None
+    if "--run" in rest:
+        at = rest.index("--run")
+        run_index = int(rest[at + 1])
+        rest = rest[:at] + rest[at + 2:]
+    extra = parse_cli_overrides([t for t in rest if "=" in t])
+    grid = resolve(name, extra)
+
+    if run_index is None:
+        for i, overrides in enumerate(grid):
+            args = apply_overrides(TrainArgs(), dict(overrides))
+            print(f"[{i}]", xp_signature(args), overrides)
+        return
+
+    if not 0 <= run_index < len(grid):
+        raise SystemExit(f"--run {run_index} out of range (grid has "
+                         f"{len(grid)} entries)")
+    overrides = grid[run_index]
+    args = apply_overrides(TrainArgs(), dict(overrides))
+    print(f"launching grid entry [{run_index}] sig={xp_signature(args)}:",
+          overrides, flush=True)
+    from demucs_tpu.train.train import main as train_main
+
+    train_main([f"{k}={_yaml_value(v)}" for k, v in overrides.items()])
+
+
+def _yaml_value(value) -> str:
+    import json
+
+    if isinstance(value, tuple):
+        value = list(value)
+    if isinstance(value, (dict, list, bool)) or value is None:
+        return json.dumps(value)
+    return str(value)

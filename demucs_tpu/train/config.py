@@ -227,6 +227,79 @@ def parse_cli_overrides(tokens: tp.Sequence[str]) -> tp.Dict[str, tp.Any]:
     return out
 
 
+# Dataset presets, mirroring the reference's Hydra config group
+# ``conf/dset/*.yaml`` (selected with ``dset=NAME``). The reference yamls pin
+# FAIR-internal dataset paths; here the structural knobs (rates, epochs,
+# augment policy, musdb usage) are inlined and the wav roots are placeholders
+# to override (``dset.wav=/path``).
+DSET_PRESETS: tp.Dict[str, tp.Dict[str, tp.Any]] = {
+    # conf/dset/musdb44.yaml
+    "musdb44": {"dset.samplerate": 44100, "dset.channels": 2},
+    # conf/dset/extra44.yaml — musdb + extra stems
+    "extra44": {"dset.wav": "<ALLSTEMS_44>", "dset.samplerate": 44100,
+                "dset.channels": 2, "epochs": 320},
+    # conf/dset/extra_test.yaml — + musdb test as training data
+    "extra_test": {"dset.wav": "<ALLSTEMS_TEST_44>", "dset.samplerate": 44100,
+                   "dset.channels": 2, "epochs": 320, "max_batches": 700,
+                   "test.sdr": False, "test.every": 500},
+    # conf/dset/extra_mmi_goodclean.yaml — the htdemucs training set
+    "extra_mmi_goodclean": {
+        "dset.wav": "<ALLSTEMS_44>", "dset.wav2": "<MMI44_GOODCLEAN>",
+        "dset.wav2_weight": None, "dset.wav2_valid": False,
+        "dset.valid_samples": 100, "dset.samplerate": 44100,
+        "dset.channels": 2, "epochs": 1200},
+    # conf/dset/auto_mus.yaml — automix over musdb train (tools/automix.py)
+    "auto_mus": {
+        "dset.wav": "<AUTOMIX_MUSDB>", "dset.samplerate": 44100,
+        "dset.channels": 2, "epochs": 360, "max_batches": 300,
+        "test.every": 4, "augment.shift_same": True,
+        "augment.scale.proba": 0.5, "augment.remix.proba": 0,
+        "augment.repitch.proba": 0},
+    # conf/dset/auto_extra_test.yaml
+    "auto_extra_test": {
+        "dset.wav": "<AUTOMIX_EXTRA_TEST>", "dset.samplerate": 44100,
+        "dset.channels": 2, "epochs": 320, "max_batches": 500,
+        "augment.shift_same": True, "augment.scale.proba": 0.0,
+        "augment.remix.proba": 0, "augment.repitch.proba": 0},
+    # conf/dset/aetl.yaml — automix + extra + musdb test, more remixes
+    "aetl": {
+        "dset.wav": "<AETL>", "dset.samplerate": 44100, "dset.channels": 2,
+        "epochs": 320, "max_batches": 500, "augment.shift_same": True,
+        "augment.scale.proba": 0.0, "augment.remix.proba": 0,
+        "augment.repitch.proba": 0},
+    # conf/dset/sdx23_bleeding.yaml / sdx23_labelnoise.yaml
+    "sdx23_bleeding": {
+        "dset.wav": "<MOISESDB23_BLEEDING>", "dset.use_musdb": False,
+        "dset.samplerate": 44100, "dset.channels": 2, "epochs": 320},
+    "sdx23_labelnoise": {
+        "dset.wav": "<MOISESDB23_LABELNOISE>", "dset.use_musdb": False,
+        "dset.samplerate": 44100, "dset.channels": 2, "epochs": 320},
+}
+
+
+def expand_presets(overrides: tp.Mapping[str, tp.Any]) -> tp.Dict[str, tp.Any]:
+    """Expand a Hydra-style ``dset=NAME`` group selection into its preset
+    overrides (explicit keys win over the preset's)."""
+    if "dset" not in overrides:
+        return dict(overrides)
+    out: tp.Dict[str, tp.Any] = {}
+    for key, value in overrides.items():
+        if key == "dset":
+            if value not in DSET_PRESETS:
+                raise KeyError(
+                    f"unknown dset preset {value!r}; available: "
+                    f"{sorted(DSET_PRESETS)}")
+            for pk, pv in DSET_PRESETS[value].items():
+                out.setdefault(pk, pv)
+        else:
+            out[key] = value
+    # explicit keys win regardless of position
+    for key, value in overrides.items():
+        if key != "dset":
+            out[key] = value
+    return out
+
+
 def xp_signature(args: TrainArgs) -> str:
     """Dora-style XP signature: sha1 of the delta from default config."""
     default = _to_plain(TrainArgs())

@@ -108,6 +108,24 @@ class Solver:
         self.folder = Path(folder)
         self.folder.mkdir(parents=True, exist_ok=True)
 
+        # Quantization-aware training (solver.py:339-342, states.py:23-47):
+        # DiffQ learns per-group bit-depths via a logits pytree trained by its
+        # own Adam; QAT applies fixed-bit STE. See train/quantize.py.
+        from demucs_tpu.train import quantize as quantize_mod
+
+        self._quant = quantize_mod.make_spec(args)
+        self._qnames: tp.Tuple[str, ...] = ()
+        self.qlogits = None
+        if self._quant is not None:
+            self._qnames = quantize_mod.quantized_param_names(
+                model.kind, model.cfg, self._quant)
+            if self._quant.mode == "diffq":
+                self.qlogits = quantize_mod.init_logits(
+                    model.params, self._qnames, self._quant)
+                self._qopt = optax.adam(self._quant.logit_lr)
+                self.opt_state = (optimizer.init(model.params),
+                                  self._qopt.init(self.qlogits))
+
         # EMA banks (solver.py:41-50): batch EMAs update per step, epoch EMAs
         # per epoch. All live on device as pytrees.
         self.emas: tp.Dict[str, tp.List[ModelEMA]] = {"batch": [], "epoch": []}
@@ -228,9 +246,20 @@ class Solver:
             loss = (loss_mat * weights).sum() / weights.sum()
             return loss, reco
 
+        quant = self._quant
+        qnames = self._qnames
+        from demucs_tpu.train import quantize as quantize_mod
+
         def make_step(with_svd: bool):
-            def full_loss(params, sources, rng, svd_key):
-                loss, reco = loss_fn(params, sources, rng)
+            def full_loss(params, qlogits, sources, rng, svd_key, noise_key):
+                p = params
+                ms = 0.0
+                if quant is not None and quant.mode == "diffq":
+                    p = quantize_mod.noisy_params(params, qlogits, noise_key, quant)
+                    ms = quantize_mod.model_size_mb(qlogits, quant)
+                elif quant is not None:  # fixed-bit QAT (STE)
+                    p = quantize_mod.ste_params(params, qnames, quant)
+                loss, reco = loss_fn(p, sources, rng)
                 penalty = 0.0
                 if with_svd:
                     from demucs_tpu.train.svd import svd_penalty
@@ -240,13 +269,43 @@ class Solver:
                     kw["proba"] = 1.0  # host-side rng decides the skip
                     penalty = svd_penalty(params, key=svd_key, **kw)
                     loss = loss + args.svd.penalty * penalty
-                return loss, (reco, penalty)
+                if quant is not None and quant.mode == "diffq":
+                    # model-size term (reference solver.py:339-342)
+                    loss = loss + quant.penalty * ms
+                return loss, (reco, penalty, ms)
+
+            if quant is not None and quant.mode == "diffq":
+                qopt = self._qopt
+
+                def step(carry, opt_states, sources, rng):
+                    params, qlogits = carry["model"], carry["qlogits"]
+                    k_aug, k_model, k_svd, k_noise = jax.random.split(rng, 4)
+                    sources = augment(k_aug, sources)
+                    (loss, (reco, penalty, ms)), grads = jax.value_and_grad(
+                        full_loss, argnums=(0, 1), has_aux=True)(
+                        params, qlogits, sources, k_model, k_svd, k_noise)
+                    g_model, g_logits = grads
+                    grad_norm = optax.global_norm(g_model)
+                    m_state, q_state = opt_states
+                    updates, m_state = optimizer.update(g_model, m_state, params)
+                    params = optax.apply_updates(params, updates)
+                    q_up, q_state = qopt.update(g_logits, q_state, qlogits)
+                    qlogits = optax.apply_updates(qlogits, q_up)
+                    metrics = {"loss": loss, "reco_per_source": reco,
+                               "grad": grad_norm, "ms": ms}
+                    if with_svd:
+                        metrics["penalty"] = penalty
+                    return ({"model": params, "qlogits": qlogits},
+                            (m_state, q_state), metrics)
+
+                return step
 
             def step(params, opt_state, sources, rng):
-                k_aug, k_model, k_svd = jax.random.split(rng, 3)
+                k_aug, k_model, k_svd, k_noise = jax.random.split(rng, 4)
                 sources = augment(k_aug, sources)
-                (loss, (reco, penalty)), grads = jax.value_and_grad(
-                    full_loss, has_aux=True)(params, sources, k_model, k_svd)
+                (loss, (reco, penalty, _ms)), grads = jax.value_and_grad(
+                    full_loss, has_aux=True)(params, None, sources, k_model,
+                                             k_svd, k_noise)
                 grad_norm = optax.global_norm(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -304,6 +363,30 @@ class Solver:
     def params(self, value):
         self.model.params = value
 
+    def _valid_params(self):
+        """Validation weights under QAT: hard-quantized at the learned
+        (diffq) or fixed (qat) bit-depths."""
+        from demucs_tpu.train import quantize as quantize_mod
+
+        if self._quant is None:
+            return self.model.params
+        if self._quant.mode == "diffq":
+            return quantize_mod.eval_params(self.model.params, self.qlogits,
+                                            self._quant)
+        return quantize_mod.ste_params(self.model.params, self._qnames,
+                                       self._quant)
+
+    def quantized_state(self) -> dict:
+        """Export: hard-quantized ``__quantized`` container for the CURRENT
+        params (decoder-compatible; tools/export.py uses this when the XP
+        trained with quant.diffq/qat — reference states.py:96-107)."""
+        from demucs_tpu.train import quantize as quantize_mod
+
+        assert self._quant is not None, "quantization not enabled on this XP"
+        return quantize_mod.hard_quantized_state(
+            self.model.params, self.qlogits, self._quant, self.model.kind,
+            self.model.cfg)
+
     def _serialize(self, epoch: int) -> None:
         """Atomic full-state checkpoint (solver.py:77-101)."""
         def to_host(tree):
@@ -317,6 +400,8 @@ class Solver:
             "args": dataclasses.asdict(self.args),
             "rng": np.asarray(self.rng),
         }
+        if self.qlogits is not None:
+            package["qlogits"] = to_host(self.qlogits)
         for kind, emas in self.emas.items():
             for k, ema in enumerate(emas):
                 package[f"ema_{kind}_{k}"] = {
@@ -356,6 +441,8 @@ class Solver:
             self.history[:] = package["history"]
             if package.get("best_state") is not None:
                 self.best_state = jax.tree.map(jnp.asarray, package["best_state"])
+            if package.get("qlogits") is not None:
+                self.qlogits = jax.tree.map(jnp.asarray, package["qlogits"])
             self.rng = jnp.asarray(package["rng"])
             for kind, emas in self.emas.items():
                 for k, ema in enumerate(emas):
@@ -390,7 +477,7 @@ class Solver:
             "loss": format(metrics["loss"], ".4f"),
             "reco": format(metrics["reco"], ".4f"),
         }
-        for key in ("nsdr", "grad", "best", "bname"):
+        for key in ("nsdr", "grad", "ms", "best", "bname"):
             if key in metrics:
                 val = metrics[key]
                 losses[key] = val if isinstance(val, str) else format(val, ".4f")
@@ -516,20 +603,34 @@ class Solver:
         averager = MetricAverager()
         weights = np.asarray(args.weights, dtype=np.float64)
         losses: tp.Dict[str, float] = {}
+        vmodel = self.model
+        if not train and self._quant is not None:
+            # QAT: validate the hard-quantized model (diffq applies true
+            # quantization in its eval-mode forward pre-hook)
+            vmodel = Model(self.model.kind, self.model.cfg, self._valid_params())
         idx = -1
         for idx, sources in enumerate(data_loader):
             if train:
                 self.rng, key = jax.random.split(self.rng)
-                params, self.opt_state, m = self._train_step(
-                    self.model.params, self.opt_state, self._put_batch(sources),
-                    key,
-                )
-                self.model.params = params
+                if self.qlogits is not None:  # diffq: logits train alongside
+                    carry = {"model": self.model.params, "qlogits": self.qlogits}
+                    carry, self.opt_state, m = self._train_step(
+                        carry, self.opt_state, self._put_batch(sources), key)
+                    self.model.params = carry["model"]
+                    self.qlogits = carry["qlogits"]
+                else:
+                    params, self.opt_state, m = self._train_step(
+                        self.model.params, self.opt_state,
+                        self._put_batch(sources), key,
+                    )
+                    self.model.params = params
                 reco = np.asarray(m["reco_per_source"])
                 losses = {
                     "loss": float(m["loss"]),
                     "grad": float(m["grad"]),
                 }
+                if "ms" in m:
+                    losses["ms"] = float(m["ms"])
                 for ema in self.emas["batch"]:
                     ema.update(self.model.params)
             else:
@@ -539,7 +640,7 @@ class Solver:
                     # reference solver.py:316 — apply_model defaults, i.e.
                     # shifts=1 (one random shift per valid track)
                     estimate = apply_model(
-                        self.model, mix, split=args.test.split, overlap=0, shifts=1
+                        vmodel, mix, split=args.test.split, overlap=0, shifts=1
                     )
                     diff = estimate - sources_only
                     if args.optim.loss == "l1":
@@ -553,7 +654,7 @@ class Solver:
                     losses = {"loss": loss}
                 else:
                     loss, reco_j, estimate = self._valid_step(
-                        self.model.params, jnp.asarray(mix), jnp.asarray(sources_only)
+                        vmodel.params, jnp.asarray(mix), jnp.asarray(sources_only)
                     )
                     estimate = np.asarray(estimate)
                     reco = np.asarray(reco_j)

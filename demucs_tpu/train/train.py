@@ -20,6 +20,7 @@ from demucs_tpu.train import distrib
 from demucs_tpu.train.config import (
     TrainArgs,
     apply_overrides,
+    expand_presets,
     parse_cli_overrides,
     xp_signature,
 )
@@ -176,7 +177,7 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     argv = sys.argv[1:] if argv is None else argv
     args = TrainArgs()
-    overrides = parse_cli_overrides([a for a in argv if "=" in a])
+    overrides = expand_presets(parse_cli_overrides([a for a in argv if "=" in a]))
     apply_overrides(args, overrides)
     sig = xp_signature(args)
     logger.info("XP signature: %s", sig)

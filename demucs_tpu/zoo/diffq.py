@@ -215,19 +215,22 @@ def dequantize_state(state: dict, kind: str, cfg) -> tp.Dict[str, np.ndarray]:
     return flat
 
 
-def quantize_entry(arr: np.ndarray, group_size: int, bits: int):
+def quantize_entry(arr: np.ndarray, group_size: int,
+                   bits: tp.Union[int, np.ndarray]):
     """Group-wise uniform [min, max]-range quantization (encoder half of
     :func:`dequantize_entry`'s affine layout): levels uint8 (bits<=8) or
-    int16, scales fp32 ``(G, 2) = [min, max]``, bits uint8 per group."""
+    int16, scales fp32 ``(G, 2) = [min, max]``, bits uint8 per group.
+    ``bits`` may be a scalar or a per-group array (DiffQ learned depths)."""
     flat = arr.reshape(-1, group_size) if group_size else arr.reshape(1, -1)
+    bits_arr = np.broadcast_to(np.asarray(bits, np.uint8),
+                               (flat.shape[0],)).copy()
+    nlev = (2.0 ** bits_arr.astype(np.float64) - 1.0)[:, None]
     mn = flat.min(axis=-1, keepdims=True)
     mx = flat.max(axis=-1, keepdims=True)
-    nlev = float(2**bits - 1)
     span = np.where(mx > mn, mx - mn, 1.0)
     levels = np.round((flat - mn) / span * nlev)
-    levels = levels.astype(np.uint8 if bits <= 8 else np.int16)
+    levels = levels.astype(np.uint8 if bits_arr.max() <= 8 else np.int16)
     scales = np.concatenate([mn, mx], axis=-1).astype(np.float32)
-    bits_arr = np.full((flat.shape[0],), bits, np.uint8)
     return levels, scales, bits_arr
 
 

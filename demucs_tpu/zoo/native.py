@@ -28,10 +28,14 @@ _CONFIG_CLASSES = {
 
 
 def serialize_model(model: Model, training_args: tp.Optional[dict] = None,
-                    half: bool = True) -> bytes:
+                    half: bool = True,
+                    quantized_state: tp.Optional[dict] = None) -> bytes:
     """Model -> bytes of the .dmx container (fp16 weights by default, like the
-    released zoo — states.py:121-132)."""
-    flat = flatten_state(model.params)
+    released zoo — states.py:121-132).
+
+    ``quantized_state``: a ``__quantized`` container (train/quantize.py
+    ``hard_quantized_state``) stored instead of the float params — the native
+    analog of the reference's diffq-compressed releases (mdx_q)."""
     buf = io.BytesIO()
     meta = {
         "kind": model.kind,
@@ -40,16 +44,31 @@ def serialize_model(model: Model, training_args: tp.Optional[dict] = None,
         "format_version": 1,
     }
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr("meta.json", json.dumps(meta))
         arrays = {}
-        for name, value in flat.items():
-            arr = np.asarray(value)
-            if half and arr.dtype == np.float32:
-                arr = arr.astype(np.float16)
-            arrays[name] = arr
+        if quantized_state is not None:
+            meta["quantized"] = {
+                "meta": {k: v for k, v in quantized_state["meta"].items()},
+                "n_entries": len(quantized_state["quantized"]),
+                "n_others": len(quantized_state["others"]),
+            }
+            member = "quant.npz"
+            for i, (levels, scales, bits) in enumerate(quantized_state["quantized"]):
+                arrays[f"q{i}.levels"] = np.asarray(levels)
+                arrays[f"q{i}.scales"] = np.asarray(scales)
+                arrays[f"q{i}.bits"] = np.asarray(bits)
+            for i, other in enumerate(quantized_state["others"]):
+                arrays[f"o{i}"] = np.asarray(other)
+        else:
+            member = "params.npz"
+            for name, value in flatten_state(model.params).items():
+                arr = np.asarray(value)
+                if half and arr.dtype == np.float32:
+                    arr = arr.astype(np.float16)
+                arrays[name] = arr
+        zf.writestr("meta.json", json.dumps(meta))
         npz_buf = io.BytesIO()
         np.savez(npz_buf, **arrays)
-        zf.writestr("params.npz", npz_buf.getvalue())
+        zf.writestr(member, npz_buf.getvalue())
     return buf.getvalue()
 
 
@@ -76,7 +95,8 @@ def load_native_model(path) -> Model:
 
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("meta.json"))
-        with zf.open("params.npz") as f:
+        member = "quant.npz" if "quantized" in meta else "params.npz"
+        with zf.open(member) as f:
             arrays = dict(np.load(io.BytesIO(f.read())))
     kind = meta["kind"]
     mod_name, cls_name = _CONFIG_CLASSES[kind]
@@ -86,5 +106,20 @@ def load_native_model(path) -> Model:
         if isinstance(value, list):
             cfg_dict[key] = tuple(tuple(v) if isinstance(v, list) else v for v in value)
     cfg = cls(**cfg_dict)
-    params = nest_state(arrays)
+    if "quantized" in meta:
+        from demucs_tpu.zoo.diffq import dequantize_state
+
+        qmeta = meta["quantized"]
+        state = {
+            "__quantized": True,
+            "quantized": [
+                (arrays[f"q{i}.levels"], arrays[f"q{i}.scales"], arrays[f"q{i}.bits"])
+                for i in range(qmeta["n_entries"])
+            ],
+            "others": [arrays[f"o{i}"] for i in range(qmeta["n_others"])],
+            "meta": qmeta["meta"],
+        }
+        params = nest_state(dequantize_state(state, kind, cfg))
+    else:
+        params = nest_state(arrays)
     return Model(kind, cfg, params)

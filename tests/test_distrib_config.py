@@ -78,8 +78,9 @@ def test_signature_ignores_default_restating():
 
 
 def test_grids_produce_distinct_signatures():
-    from demucs_tpu.grids import GRIDS
+    from demucs_tpu.grids import GRIDS, resolve
 
-    for name, fn in GRIDS.items():
-        sigs = [xp_signature(apply_overrides(TrainArgs(), ov)) for ov in fn()]
+    for name in GRIDS:
+        sigs = [xp_signature(apply_overrides(TrainArgs(), ov))
+                for ov in resolve(name)]
         assert len(sigs) == len(set(sigs)), name

@@ -1,0 +1,71 @@
+"""Grids: every entry must resolve cleanly onto TrainArgs (catching unknown
+keys), dset presets expand with explicit-key priority, and the --run launcher
+round-trips overrides through the CLI token format."""
+
+import pytest
+
+from demucs_tpu import grids
+from demucs_tpu.train.config import (
+    DSET_PRESETS, TrainArgs, apply_overrides, expand_presets, xp_signature,
+)
+
+
+@pytest.mark.parametrize("name", sorted(grids.GRIDS))
+def test_grid_entries_apply_cleanly(name):
+    entries = grids.resolve(name)
+    assert entries, name
+    sigs = []
+    for overrides in entries:
+        assert "dset" not in overrides  # presets expanded
+        args = apply_overrides(TrainArgs(), dict(overrides))
+        sigs.append(xp_signature(args))
+    assert len(set(sigs)) == len(sigs), f"{name}: duplicate XP signatures"
+
+
+def test_grid_counts_match_reference_recipes():
+    # mdx: 4 bases x (plain + 2 diffq) — grids/mdx.py:28-33
+    assert len(grids.resolve("mdx")) == 12
+    # mdx_extra: 4 bases x (extra44 + extra_test + 2 diffq on extra_test)
+    assert len(grids.resolve("mdx_extra")) == 16
+    # sdx23: bleeding + labelnoise — grids/sdx23.py:16-18
+    assert len(grids.resolve("sdx23")) == 2
+    # mdx_refine: 4 sigs x (plain + 2 diffq) — grids/mdx_refine.py:24-33
+    assert len(grids.resolve("mdx_refine")) == 12
+
+
+def test_dset_presets_all_resolve():
+    for name in DSET_PRESETS:
+        overrides = expand_presets({"dset": name})
+        args = apply_overrides(TrainArgs(), overrides)
+        assert args.dset.samplerate == 44100
+
+
+def test_expand_presets_explicit_wins():
+    out = expand_presets({"dset": "extra44", "epochs": 7})
+    assert out["epochs"] == 7 and out["dset.wav"] == "<ALLSTEMS_44>"
+    with pytest.raises(KeyError, match="unknown dset preset"):
+        expand_presets({"dset": "nope"})
+
+
+def test_launcher_run_invokes_train(monkeypatch, capsys):
+    captured = {}
+
+    def fake_train_main(argv):
+        from demucs_tpu.train.config import parse_cli_overrides
+
+        captured["overrides"] = expand_presets(parse_cli_overrides(argv))
+
+    import demucs_tpu.train.train as train_mod
+
+    monkeypatch.setattr(train_mod, "main", fake_train_main)
+    grids.main(["sdx23", "--run", "1", "dset.musdb=/data/musdb"])
+    got = captured["overrides"]
+    assert got["dset.use_musdb"] is False
+    assert got["dset.wav"] == "<MOISESDB23_LABELNOISE>"
+    assert got["dset.musdb"] == "/data/musdb"
+    assert "launching grid entry [1]" in capsys.readouterr().out
+
+
+def test_launcher_run_out_of_range():
+    with pytest.raises(SystemExit, match="out of range"):
+        grids.main(["sdx23", "--run", "5"])

@@ -61,6 +61,30 @@ def main():
         # Pin the deploy segment to the trained segment (reference
         # tools/export.py:53-56 stores it as a Fraction of the train length).
         model.cfg = dataclasses.replace(model.cfg, segment=float(targs.dset.segment))
+
+        # diffq/qat XPs: hard-quantize with the learned bits into the compact
+        # container (reference tools/export.py:41-49 saves the quantized
+        # state when the XP has a quantizer).
+        from demucs_tpu.train.quantize import hard_quantized_state, make_spec
+
+        spec = make_spec(targs)
+        if spec is not None:
+            qlogits = package.get("qlogits")
+            if qlogits is not None:
+                qlogits = jax.tree.map(jnp.asarray, qlogits)
+            qstate = hard_quantized_state(model.params, qlogits, spec,
+                                          model.kind, model.cfg)
+            from demucs_tpu.zoo.native import serialize_model
+            import hashlib
+
+            content = serialize_model(model, training_args=saved_args,
+                                      quantized_state=qstate)
+            qsig = hashlib.sha256(content).hexdigest()[:8]
+            qpath = args.out / f"{sig}-{qsig}.dmx"
+            qpath.write_bytes(content)
+            print(f"exported {sig} (quantized, {len(content)/2**20:.1f} MB) "
+                  f"-> {qpath}")
+            continue
         path = save_with_checksum(model, args.out / f"{sig}.dmx",
                                   training_args=saved_args, half=True)
         print(f"exported {sig} -> {path}")
