@@ -26,15 +26,17 @@ def _fake_demucs_class():
     FooModel.__module__ = "demucs.fake_mod"
     FooModel.__qualname__ = "FooModel"
     mod.FooModel = FooModel
-    pkg = types.ModuleType("demucs")
-    pkg.fake_mod = mod
-    sys.modules.setdefault("demucs", pkg)
+    installed_pkg = "demucs" not in sys.modules
+    if installed_pkg:
+        pkg = types.ModuleType("demucs")
+        pkg.fake_mod = mod
+        sys.modules["demucs"] = pkg
     sys.modules["demucs.fake_mod"] = mod
-    return FooModel
+    return FooModel, installed_pkg
 
 
 def _make_package(path):
-    klass = _fake_demucs_class()
+    klass, installed_pkg = _fake_demucs_class()
     base = torch.arange(24, dtype=torch.float32).reshape(4, 6)
     state = collections.OrderedDict([
         ("enc.weight", torch.randn(3, 5).half()),
@@ -53,9 +55,13 @@ def _make_package(path):
         "training_args": {"epochs": 2},
     }
     torch.save(pkg, path)
-    # the fake package must not leak into other tests / the hermetic claim
+    # The fake modules must not leak into other tests / the hermetic claim —
+    # but only remove what WE installed: popping a previously-imported real
+    # reference package would orphan its cached submodules (a later
+    # ``import demucs.htdemucs`` then returns a parent without the attribute).
     del sys.modules["demucs.fake_mod"]
-    sys.modules.pop("demucs", None)
+    if installed_pkg:
+        sys.modules.pop("demucs", None)
     return pkg
 
 

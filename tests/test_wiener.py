@@ -7,6 +7,7 @@ initialization uses the mixture phase; EM source estimates sum to the mixture
 mixture reconstructs it.
 """
 
+import jax
 import numpy as np
 import pytest
 import torch
@@ -17,6 +18,15 @@ from common import SOURCES, random_mix
 from torchref import import_reference, torch_state_to_params
 
 from demucs_tpu.ops.wiener import wiener
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_memory():
+    """Late in the full suite ~200 live executables exhaust the XLA CPU JIT's
+    code memory and the (large) hdemucs+wiener forward compile segfaults
+    deterministically; dropping cached executables first keeps it healthy.
+    Only this module recompiles afterwards — earlier modules already ran."""
+    jax.clear_caches()
 
 
 def _complex_mix(T=40, F=32, C=2, seed=0):
