@@ -19,6 +19,35 @@ from pathlib import Path
 import numpy as np
 
 
+def export_core(params, cfg, out: Path) -> tuple:
+    """Serialize jitted ``forward_core`` at ``cfg``'s training length into
+    ``out``. Returns the (mag, mix) example input shapes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from demucs_tpu.models import htdemucs as ht
+    from demucs_tpu.ops.spec import cac_pack, demucs_spec
+    from demucs_tpu.train.quantize import _nest  # trace-safe (no np coercion)
+    from demucs_tpu.zoo.torch_load import flatten_state
+
+    L = cfg.training_length
+    mix = jnp.zeros((1, cfg.audio_channels, L), jnp.float32)
+    mag = cac_pack(demucs_spec(mix, cfg.nfft))
+
+    # The artifact's weight input is the FLAT dotted-name dict: jax.export
+    # serialization requires string pytree keys, and a flat {name: array}
+    # signature is friendlier to non-JAX runtimes anyway.
+    def core(flat_params, mag, mix):
+        return ht.forward_core(_nest(flat_params), mag, mix, cfg)
+
+    # Multi-platform lowering: one artifact serves TPU pods and CPU hosts.
+    exported = jexport.export(jax.jit(core), platforms=("tpu", "cpu"))(
+        flatten_state(params), mag, mix)
+    Path(out).write_bytes(exported.serialize())
+    return mag.shape, mix.shape
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-n", "--name", default="htdemucs")
@@ -29,12 +58,7 @@ def main():
                         help="use random weights instead of the zoo (offline use)")
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    from jax import export as jexport
-
     from demucs_tpu.models import htdemucs as ht
-    from demucs_tpu.ops.spec import cac_pack, demucs_spec
 
     if args.random:
         cfg = ht.HTDemucsConfig(segment=args.segment or 7.8)
@@ -49,20 +73,10 @@ def main():
         assert model.kind == "htdemucs", "StableHLO core export supports htdemucs"
         cfg, params = model.cfg, model.params
 
-    L = cfg.training_length
-    mix = jnp.zeros((1, cfg.audio_channels, L), jnp.float32)
-    mag = cac_pack(demucs_spec(mix, cfg.nfft))
-
-    def core(params, mag, mix):
-        return ht.forward_core(params, mag, mix, cfg)
-
-    exported = jexport.export(jax.jit(core))(params, mag, mix)
-    data = exported.serialize()
-    args.out.write_bytes(data)
-    print(f"exported StableHLO core: {args.out} ({len(data)/2**20:.1f} MB)")
-    print(f"  in:  mag {mag.shape}, mix {mix.shape}")
-    spec_out, time_out = jax.eval_shape(core, params, mag, mix)
-    print(f"  out: spec {spec_out.shape}, time {time_out.shape}")
+    mag_shape, mix_shape = export_core(params, cfg, args.out)
+    size = args.out.stat().st_size
+    print(f"exported StableHLO core: {args.out} ({size/2**20:.1f} MB)")
+    print(f"  in:  mag {mag_shape}, mix {mix_shape}")
 
 
 if __name__ == "__main__":
