@@ -193,10 +193,17 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
-    if flash and mask is None and rng is None:
+    if flash:
         from demucs_tpu.ops.pallas.attention import flash_mha
 
-        out = flash_mha(qh, kh, vh, num_heads)
+        rate, seed = 0.0, None
+        if rng is not None and dropout > 0.0:
+            # The kernel's counter-based PRNG is statistically equivalent to
+            # (not bit-matching) the host path's bernoulli stream.
+            rate = dropout
+            seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+        out = flash_mha(qh, kh, vh, num_heads, mask=mask, dropout=rate,
+                        dropout_seed=seed)
     else:
         out = multihead_attention(qh, kh, vh, num_heads, mask=mask,
                                   dropout_rng=rng, dropout=dropout)

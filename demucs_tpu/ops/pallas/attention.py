@@ -7,8 +7,14 @@ accumulators, O(block) VMEM. Sequence lengths here are short by LLM standards
 single pass over K per Q block is cheap; the win is avoiding the HBM
 round-trip of the (Tq, Tk) score matrix.
 
-Handles self- AND cross-attention (Tq != Tk) and ragged lengths via block
-masking (lengths are padded up to the 128-lane tile).
+Handles self- AND cross-attention (Tq != Tk), ragged lengths via block
+masking (lengths are padded up to the 128-lane tile), optional boolean
+keep-masks (the static sparse-attention variants,
+``demucs/transformer.py:118-212``), and train-time dropout on the attention
+probabilities (``nn.MultiheadAttention(dropout=...)``). Dropout uses a
+counter-based hash PRNG keyed on (seed, batch*head, query, key) — identical
+on every backend and statistically equivalent to (but not bit-matching) the
+host path's ``jax.random.bernoulli`` stream.
 """
 
 from __future__ import annotations
@@ -25,11 +31,25 @@ DEFAULT_BLOCK_K = 256
 _INTERPRET = False  # flipped by tests on CPU
 
 
+def _uniform_hash(x: jax.Array) -> jax.Array:
+    """uint32 -> uniform [0, 1) float32 via the murmur3 finalizer (a
+    counter-based PRNG: statelessly decorrelated per position)."""
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> jnp.uint32(13)
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> jnp.uint32(16)
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * (2.0 ** -24)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
-                 sm_scale: float):
+                 sm_scale: float, dropout: float = 0.0, mask_ref=None,
+                 seed_ref=None):
     q = q_ref[...].astype(jnp.float32) * sm_scale  # (block_q, d)
     block_q, d = q.shape
     n_kv_blocks = pl.cdiv(kv_len, block_k)
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -38,12 +58,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
         # mask out padded keys
         kv_ids = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
+        keep = kv_ids < kv_len
+        if mask_ref is not None:
+            keep &= mask_ref[:, pl.ds(i * block_k, block_k)] > 0
+        s = jnp.where(keep, s, -jnp.inf)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
+        # -inf-safe online softmax: rows with no kept key so far keep l == 0
+        # (final 0/0 -> NaN matches the dense path's softmax over all -inf).
+        safe_m = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        alpha = jnp.exp(m_prev - safe_m)  # exp(-inf - finite) == 0
+        p = jnp.exp(s - safe_m[:, None])
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        if dropout > 0.0:
+            # dropout(softmax(s)) == dropout(p)/l: the inverted-dropout scale
+            # is linear, so drop the UNNORMALIZED probs but accumulate the
+            # denominator l from the pre-dropout p.
+            rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            ctr = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+                   ^ cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+            ctr ^= (seed_ref[0].astype(jnp.uint32)
+                    + bh.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+            drop_keep = _uniform_hash(ctr) >= dropout
+            p = jnp.where(drop_keep, p, 0.0) / (1.0 - dropout)
         acc = acc * alpha[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -59,19 +97,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "dropout", "block_q", "block_k", "interpret"),
 )
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-              *, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+              *, mask: jax.Array | None = None, dropout: float = 0.0,
+              dropout_seed: jax.Array | None = None,
+              block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
               interpret: bool = False) -> jax.Array:
     """Multi-head attention over projected q/k/v: ``(B, T, C)`` inputs.
 
-    Drop-in for ``demucs_tpu.ops.attention.multihead_attention``.
+    Drop-in for ``demucs_tpu.ops.attention.multihead_attention``:
+    ``mask`` is the same boolean keep-mask ``(Tq, Tk)`` shared across batch
+    and heads; ``dropout``/``dropout_seed`` enable train-time attention-prob
+    dropout (seed: any int32 scalar, e.g. ``jax.random.randint(...)``).
     """
     B, Tq, C = q.shape
     Tk = k.shape[1]
     d = C // num_heads
     sm_scale = 1.0 / math.sqrt(d)
+    dropout = float(dropout)
+    if dropout and dropout_seed is None:
+        raise ValueError("dropout > 0 requires dropout_seed")
 
     def split(x, T):
         return (
@@ -91,19 +138,52 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
         vh = jnp.pad(vh, [(0, 0), (0, tk_pad - Tk), (0, 0)])
 
     grid = (B * num_heads, tq_pad // block_q)
+    in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((None, tk_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((None, tk_pad, d), lambda b, i: (b, 0, 0)),
+    ]
+    operands = [qh, kh, vh]
+    if mask is not None:
+        keep = jnp.asarray(mask)
+        assert keep.shape == (Tq, Tk), (keep.shape, Tq, Tk)
+        keep = jnp.pad(keep.astype(jnp.float32),
+                       [(0, tq_pad - Tq), (0, tk_pad - Tk)],
+                       constant_values=1.0)
+        in_specs.append(pl.BlockSpec((block_q, tk_pad), lambda b, i: (i, 0)))
+        operands.append(keep)
+    if dropout:
+        from jax.experimental.pallas import tpu as pltpu
+
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+
+    # Rebind refs positionally: optional mask/seed refs come after o_ref in
+    # pallas_call order (inputs..., outputs...), so wrap to name them.
+    def wrapped(*refs):
+        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        idx = 3
+        mask_ref = None
+        seed_ref = None
+        if mask is not None:
+            mask_ref = refs[idx]
+            idx += 1
+        if dropout:
+            seed_ref = refs[idx]
+            idx += 1
+        o_ref = refs[idx]
+        return _attn_kernel(q_ref, k_ref, v_ref, o_ref, block_k=block_k,
+                            kv_len=Tk, sm_scale=sm_scale, dropout=dropout,
+                            mask_ref=mask_ref, seed_ref=seed_ref)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, block_k=block_k, kv_len=Tk,
-                          sm_scale=sm_scale),
+        wrapped,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, tk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, tk_pad, d), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * num_heads, tq_pad, d), q.dtype),
         interpret=interpret or _INTERPRET,
-    )(qh, kh, vh)
+    )(*operands)
 
     out = out[:, :Tq, :]
     return out.reshape(B, num_heads, Tq, d).transpose(0, 2, 1, 3).reshape(B, Tq, C)
