@@ -1,0 +1,126 @@
+"""HTTP serving surface (demucs_tpu/serve.py): the service produces the same
+stems as the API, two-stems mode composes the complement, and the server
+round-trips requests (healthz / models / separate / error paths) over real
+HTTP."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import zipfile
+
+import numpy as np
+import pytest
+
+from common import SOURCES, random_mix, small_htdemucs_kwargs
+
+
+@pytest.fixture(scope="module")
+def local_repo(tmp_path_factory):
+    """Tiny htdemucs in a local .dmx repo -> (repo_dir, sig)."""
+    from demucs_tpu.models import htdemucs as jht
+    from demucs_tpu.models.registry import Model
+    from demucs_tpu.zoo.native import save_with_checksum
+
+    cfg = jht.HTDemucsConfig(sources=tuple(SOURCES), **small_htdemucs_kwargs())
+    model = Model("htdemucs", cfg, jht.init_htdemucs(cfg, seed=0))
+    repo = tmp_path_factory.mktemp("repo")
+    path = save_with_checksum(model, repo / "serve0000.dmx", half=False)
+    return repo, path.stem.split("-")[0]
+
+
+@pytest.fixture(scope="module")
+def service(local_repo):
+    from demucs_tpu.serve import SeparationService
+
+    repo, sig = local_repo
+    return SeparationService(model=sig, repo=repo, shifts=0, engine="host")
+
+
+def _wav_bytes(wav: np.ndarray, sr: int, tmp_path) -> bytes:
+    from demucs_tpu.audio import save_audio
+
+    path = tmp_path / "in.wav"
+    save_audio(wav, path, sr, bits_per_sample=32, as_float=True, clip="none")
+    return path.read_bytes()
+
+
+def test_service_matches_api(service, tmp_path):
+    sep = service.separator
+    sr = sep.samplerate
+    wav = random_mix((2, int(1.3 * sr)), seed=11, scale=0.05)
+    blob = service.separate_bytes(_wav_bytes(wav, sr, tmp_path),
+                                  float32=True, clip="none")
+
+    from demucs_tpu.audio import read_audio
+
+    _origin, want = sep.separate_tensor(
+        read_audio(tmp_path / "in.wav", samplerate=sr, channels=2)[0])
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = sorted(zf.namelist())
+        assert names == sorted(f"{s}.wav" for s in sep.model.sources)
+        for source in sep.model.sources:
+            out = tmp_path / f"out_{source}.wav"
+            out.write_bytes(zf.read(f"{source}.wav"))
+            stem, _ = read_audio(out, samplerate=sr, channels=2)
+            np.testing.assert_allclose(stem, want[source], atol=1e-5, rtol=0)
+
+
+def test_service_two_stems_and_validation(service, tmp_path):
+    sep = service.separator
+    sr = sep.samplerate
+    wav = random_mix((2, sr), seed=12, scale=0.05)
+    payload = _wav_bytes(wav, sr, tmp_path)
+    blob = service.separate_bytes(payload, stem="vocals", float32=True,
+                                  clip="none")
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert sorted(zf.namelist()) == ["no_vocals.wav", "vocals.wav"]
+
+    with pytest.raises(ValueError, match="unknown stem"):
+        service.separate_bytes(payload, stem="karaoke")
+
+
+def test_http_round_trip(service, tmp_path):
+    from demucs_tpu.serve import make_server
+
+    server = make_server(service, "127.0.0.1", 0)  # port 0: pick a free one
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz").read())
+        assert health["status"] == "ok"
+        assert health["sources"] == list(service.separator.model.sources)
+
+        models = json.loads(urllib.request.urlopen(f"{base}/models").read())
+        assert "htdemucs" in models["models"]
+
+        sr = service.separator.samplerate
+        wav = random_mix((2, sr), seed=13, scale=0.05)
+        payload = _wav_bytes(wav, sr, tmp_path)
+        req = urllib.request.Request(
+            f"{base}/separate?shifts=0&float32=1&clip=none", data=payload,
+            method="POST")
+        resp = urllib.request.urlopen(req)
+        assert resp.headers["Content-Type"] == "application/zip"
+        with zipfile.ZipFile(io.BytesIO(resp.read())) as zf:
+            assert len(zf.namelist()) == 4
+
+        # error paths: 404 route, 400 empty body, 400 bad stem
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{base}/nope")
+        assert err.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/separate", data=b"", method="POST"))
+        assert err.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/separate?stem=karaoke", data=payload, method="POST"))
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
