@@ -222,14 +222,58 @@ def resolve(name: str, extra: tp.Optional[dict] = None) -> Grid:
     return out
 
 
-def main(argv=None) -> None:
-    """``python -m demucs_tpu.grids NAME [--run N] [key=value ...]``.
+def _xp_status(args) -> str:
+    """One-line XP state from its folder (the ``dora grid`` monitor column):
+    epoch count + last train/valid loss + best, or 'not started'."""
+    import json
+    from pathlib import Path
 
-    Without ``--run``: print every entry's XP signature and overrides (the
-    ``dora grid NAME --dry_run`` analog). With ``--run N``: execute entry N
-    via the training entry point in-process (one XP, auto-resuming from its
-    ``{out_dir}/xps/{sig}`` folder). Extra ``key=value`` tokens are merged
-    into every entry (e.g. ``dset.musdb=/data/musdbhq out_dir=/xp``)."""
+    from demucs_tpu.train.config import xp_signature
+
+    folder = Path(args.out_dir) / "xps" / xp_signature(args)
+    hist = folder / "history.json"
+    if not hist.exists():
+        return "not started"
+    try:
+        history = json.loads(hist.read_text())
+    except (OSError, ValueError):
+        return "unreadable history"
+    if not history:
+        return "epoch 0"
+    last = history[-1]
+    parts = [f"epoch {len(history)}/{args.epochs}"]
+    if "train" in last:
+        parts.append(f"train {last['train'].get('loss', float('nan')):.4f}")
+    if "valid" in last:
+        parts.append(f"valid {last['valid'].get('loss', float('nan')):.4f}")
+        if "best" in last["valid"]:
+            parts.append(f"best {last['valid']['best']:.4f}")
+    return " ".join(parts)
+
+
+def _run_subprocess(overrides: tp.Mapping[str, tp.Any]) -> int:
+    """One XP as ``python -m demucs_tpu.train key=value ...`` (isolated
+    process, auto-resumes from its XP folder). Returns the exit code."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, "-m", "demucs_tpu.train"]
+    cmd += [f"{k}={_yaml_value(v)}" for k, v in overrides.items()]
+    return subprocess.run(cmd).returncode
+
+
+def main(argv=None, runner=_run_subprocess) -> None:
+    """``python -m demucs_tpu.grids NAME [--run N|all] [--jobs J] [--status]
+    [key=value ...]`` — the local launcher/monitor analog of ``dora grid``.
+
+    Without flags: print every entry's XP signature and overrides (the
+    ``dora grid NAME --dry_run`` analog). ``--run N``: execute entry N via
+    the training entry point in-process (one XP, auto-resuming from its
+    ``{out_dir}/xps/{sig}`` folder). ``--run all``: launch every entry as a
+    subprocess, ``--jobs J`` of them concurrently (failures are reported at
+    the end, remaining entries still run). ``--status``: print each entry's
+    progress from its XP folder. Extra ``key=value`` tokens are merged into
+    every entry (e.g. ``dset.musdb=/data/musdbhq out_dir=/xp``)."""
     import sys
 
     from demucs_tpu.train.config import (
@@ -239,16 +283,31 @@ def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in GRIDS:
         print(f"usage: python -m demucs_tpu.grids {{{','.join(GRIDS)}}} "
-              "[--run N] [key=value ...]")
+              "[--run N|all] [--jobs J] [--status] [key=value ...]")
         raise SystemExit(1)
     name, rest = argv[0], argv[1:]
-    run_index = None
+    run_index: tp.Optional[str] = None
+    jobs = 1
+    status = False
+    if "--status" in rest:
+        status = True
+        rest.remove("--status")
+    if "--jobs" in rest:
+        at = rest.index("--jobs")
+        jobs = int(rest[at + 1])
+        rest = rest[:at] + rest[at + 2:]
     if "--run" in rest:
         at = rest.index("--run")
-        run_index = int(rest[at + 1])
+        run_index = rest[at + 1]
         rest = rest[:at] + rest[at + 2:]
     extra = parse_cli_overrides([t for t in rest if "=" in t])
     grid = resolve(name, extra)
+
+    if status:
+        for i, overrides in enumerate(grid):
+            args = apply_overrides(TrainArgs(), dict(overrides))
+            print(f"[{i}] {xp_signature(args)}  {_xp_status(args)}")
+        return
 
     if run_index is None:
         for i, overrides in enumerate(grid):
@@ -256,12 +315,30 @@ def main(argv=None) -> None:
             print(f"[{i}]", xp_signature(args), overrides)
         return
 
-    if not 0 <= run_index < len(grid):
-        raise SystemExit(f"--run {run_index} out of range (grid has "
+    if run_index == "all":
+        from concurrent.futures import ThreadPoolExecutor
+
+        sigs = [xp_signature(apply_overrides(TrainArgs(), dict(ov)))
+                for ov in grid]
+        print(f"launching {len(grid)} XPs of grid {name!r} "
+              f"({jobs} concurrent)", flush=True)
+        with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
+            codes = list(pool.map(runner, grid))
+        failed = [(i, sigs[i]) for i, code in enumerate(codes) if code != 0]
+        for i, sig in failed:
+            print(f"FAILED [{i}] {sig}", file=sys.stderr)
+        print(f"grid {name!r}: {len(grid) - len(failed)}/{len(grid)} ok")
+        if failed:
+            raise SystemExit(1)
+        return
+
+    run_i = int(run_index)
+    if not 0 <= run_i < len(grid):
+        raise SystemExit(f"--run {run_i} out of range (grid has "
                          f"{len(grid)} entries)")
-    overrides = grid[run_index]
+    overrides = grid[run_i]
     args = apply_overrides(TrainArgs(), dict(overrides))
-    print(f"launching grid entry [{run_index}] sig={xp_signature(args)}:",
+    print(f"launching grid entry [{run_i}] sig={xp_signature(args)}:",
           overrides, flush=True)
     from demucs_tpu.train.train import main as train_main
 

@@ -69,3 +69,52 @@ def test_launcher_run_invokes_train(monkeypatch, capsys):
 def test_launcher_run_out_of_range():
     with pytest.raises(SystemExit, match="out of range"):
         grids.main(["sdx23", "--run", "5"])
+
+
+def test_launcher_run_all_with_jobs(capsys):
+    launched = []
+
+    def fake_runner(overrides):
+        launched.append(dict(overrides))
+        return 0
+
+    grids.main(["sdx23", "--run", "all", "--jobs", "2"], runner=fake_runner)
+    assert len(launched) == 2
+    assert {ov["dset.wav"] for ov in launched} == {
+        "<MOISESDB23_BLEEDING>", "<MOISESDB23_LABELNOISE>"}
+    assert "2/2 ok" in capsys.readouterr().out
+
+
+def test_launcher_run_all_reports_failures(capsys):
+    def flaky_runner(overrides):
+        return 1 if overrides["dset.wav"] == "<MOISESDB23_BLEEDING>" else 0
+
+    with pytest.raises(SystemExit):
+        grids.main(["sdx23", "--run", "all"], runner=flaky_runner)
+    captured = capsys.readouterr()
+    assert "1/2 ok" in captured.out
+    assert "FAILED [0]" in captured.err
+
+
+def test_launcher_status(tmp_path, capsys):
+    """--status reads each XP folder's history.json (dora grid monitor)."""
+    import json
+
+    # materialize one XP folder with two epochs of history
+    entries = grids.resolve("sdx23", {"out_dir": str(tmp_path)})
+    args = apply_overrides(TrainArgs(), dict(entries[0]))
+    sig = xp_signature(args)
+    folder = tmp_path / "xps" / sig
+    folder.mkdir(parents=True)
+    (folder / "history.json").write_text(json.dumps([
+        {"train": {"loss": 0.5}, "valid": {"loss": 0.4, "best": 0.4}},
+        {"train": {"loss": 0.3}, "valid": {"loss": 0.35, "best": 0.35}},
+    ]))
+
+    grids.main(["sdx23", "--status", f"out_dir={tmp_path}"])
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2
+    assert sig in out[0]
+    assert "epoch 2/320" in out[0] and "train 0.3000" in out[0] \
+        and "best 0.3500" in out[0]
+    assert "not started" in out[1]
