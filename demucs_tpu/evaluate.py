@@ -38,9 +38,11 @@ def new_sdr(references: np.ndarray, estimates: np.ndarray) -> np.ndarray:
 
 
 def eval_track(references: np.ndarray, estimates: np.ndarray, win: int, hop: int,
-               compute_sdr: bool = True):
-    """Per-track metrics: nsdr always; museval BSS-eval when requested &
-    installed (evaluate.py:46-64)."""
+               compute_sdr: bool = True, flen: int = 512):
+    """Per-track metrics: nsdr always; full BSS-eval when requested —
+    museval when installed (bit-matching the reference evaluate.py:46-64),
+    the native ``ops/bsseval.py`` implementation of the same configuration
+    otherwise."""
     # (S, T, C) layout for museval
     references_t = np.swapaxes(references, 1, 2).astype(np.float64)
     estimates_t = np.swapaxes(estimates, 1, 2).astype(np.float64)
@@ -52,8 +54,11 @@ def eval_track(references: np.ndarray, estimates: np.ndarray, win: int, hop: int
     try:
         import museval
     except ImportError:
-        logger.warning("museval not installed; returning nsdr only")
-        return None, new_scores
+        from demucs_tpu.ops.bsseval import bss_eval_images
+
+        scores = bss_eval_images(references_t, estimates_t,
+                                 window=win, hop=hop, flen=flen)
+        return scores, new_scores
     scores = museval.metrics.bss_eval(
         references_t, estimates_t,
         compute_permutation=False,

@@ -201,6 +201,14 @@ def test_evaluate_pretrained_flow(dataset_root, tmp_path):
     assert "nsdr" in result and "nsdr_med" in result
     assert np.isfinite(result["nsdr"])
 
+    # full BSS-eval (museval absent -> native ops/bsseval.py fallback)
+    result_sdr = evaluate(solver, compute_sdr=True)
+    for metric in ("sdr", "sir", "isr", "sar"):
+        assert metric in result_sdr and f"{metric}_med" in result_sdr
+        for source in SOURCES:
+            assert f"{metric}_{source}" in result_sdr
+    assert np.isfinite(result_sdr["sdr"])
+
 
 def test_solver_train_step_is_sharded(dataset_root, tmp_path):
     """On a multi-device host the solver's jitted train step shards the batch
