@@ -108,6 +108,8 @@ def make_sharded_train_step(
         step,
         in_shardings=(replicated, replicated, batch_sharded, replicated),
         out_shardings=(replicated, replicated, replicated),
+        # params/opt buffers are rebound by every caller: update in place
+        donate_argnums=(0, 1),
     )
 
 
