@@ -176,6 +176,7 @@ def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
         sparse_attn_window=cfg.t_sparse_attn_window,
         global_window=cfg.t_global_window,
         sparsity=cfg.t_sparsity,
+        auto_sparsity=cfg.t_auto_sparsity,
         flash_attn=cfg.t_flash_attn,
         dropout=cfg.t_dropout,
     )

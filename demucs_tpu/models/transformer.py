@@ -56,6 +56,7 @@ class TransformerSpec:
     sparse_attn_window: int = 500
     global_window: int = 50
     sparsity: float = 0.95
+    auto_sparsity: bool = False  # LSH dynamic sparsity (transformer.py:818-839)
     flash_attn: bool = False  # use the fused Pallas attention kernel
     dropout: float = 0.0  # train-time dropout (attn probs + blocks)
 
@@ -181,11 +182,22 @@ def _sparse_mask(s: "TransformerSpec", Tq: int, Tk: int):
                     s.mask_random_seed, s.sparsity)
 
 
+def _sparsity_key(s: "TransformerSpec", rng):
+    """PRNG for the LSH projections. The reference redraws R with the global
+    torch RNG on every forward, even at eval (transformer.py:833); here eval
+    uses a fixed seed (deterministic, reproducible output) and training folds
+    the step rng."""
+    if rng is not None:
+        return jax.random.fold_in(rng, 99)
+    return jax.random.PRNGKey(s.mask_random_seed)
+
+
 from demucs_tpu.ops.attention import apply_dropout as _dropout  # noqa: E402
 
 
 def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-          flash: bool = False, mask=None, rng=None, dropout: float = 0.0) -> jax.Array:
+          flash: bool = False, mask=None, rng=None, dropout: float = 0.0,
+          auto_sparsity: float = 0.0, sparsity_rng=None) -> jax.Array:
     """torch nn.MultiheadAttention with packed in_proj, batch_first inputs."""
     C = q.shape[-1]
     w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
@@ -193,6 +205,18 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
+    if auto_sparsity:
+        # LSH dynamic sparsity on the projected per-head q/k
+        # (transformer.py:789-791 routes to dynamic_sparse_attention; static
+        # masks are never combined with it, transformer.py:347,477). The mask
+        # is per (batch, head), so this takes the dense-masked einsum path —
+        # per the flash verdict that path is the faster one at these lengths.
+        from demucs_tpu.ops.sparse import dynamic_sparse_keep_mask
+
+        assert mask is None, "auto_sparsity excludes static sparse masks"
+        mask = dynamic_sparse_keep_mask(qh, kh, num_heads, auto_sparsity,
+                                        sparsity_rng)
+        flash = False
     if flash:
         from demucs_tpu.ops.pallas.attention import flash_mha
 
@@ -234,11 +258,14 @@ def self_layer_forward(p: dict, s: TransformerSpec, x: jax.Array,
     d = s.dropout
     ks = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
 
+    auto = s.sparsity if (s.auto_sparsity and s.sparse_self_attn) else 0.0
+
     def sa(q):
         out = _attn(p["self_attn"], q, q, q, s.num_heads, flash=s.flash_attn,
                     mask=(_sparse_mask(s, x.shape[1], x.shape[1])
-                          if s.sparse_self_attn else None),
-                    rng=ks[0], dropout=d)
+                          if s.sparse_self_attn and not auto else None),
+                    rng=ks[0], dropout=d, auto_sparsity=auto,
+                    sparsity_rng=_sparsity_key(s, rng) if auto else None)
         return _dropout(ks[1], out, d)  # dropout1
 
     def ff(y):
@@ -264,11 +291,14 @@ def cross_layer_forward(p: dict, s: TransformerSpec, q: jax.Array, k: jax.Array,
     d = s.dropout
     ks = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
 
+    auto = s.sparsity if (s.auto_sparsity and s.sparse_cross_attn) else 0.0
+
     def ca(qn, kn):
         out = _attn(p["cross_attn"], qn, kn, kn, s.num_heads, flash=s.flash_attn,
                     mask=(_sparse_mask(s, q.shape[1], k.shape[1])
-                          if s.sparse_cross_attn else None),
-                    rng=ks[0], dropout=d)
+                          if s.sparse_cross_attn and not auto else None),
+                    rng=ks[0], dropout=d, auto_sparsity=auto,
+                    sparsity_rng=_sparsity_key(s, rng) if auto else None)
         return _dropout(ks[1], out, d)  # dropout1
 
     def ff(y):

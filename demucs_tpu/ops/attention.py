@@ -47,8 +47,10 @@ def multihead_attention(
 
     Args:
         q: ``(B, Tq, C)``; k/v: ``(B, Tk, C)``.
-        mask: optional boolean keep-mask ``(Tq, Tk)`` (sparse-attention
-            variants, transformer.py:118-212); masked-out scores get -inf.
+        mask: optional boolean keep-mask, either ``(Tq, Tk)`` (static
+            sparse-attention variants, transformer.py:118-212) or any shape
+            broadcastable to ``(B, H, Tq, Tk)`` (LSH dynamic sparsity,
+            transformer.py:818-839); masked-out scores get -inf.
         dropout_rng/dropout: train-time dropout on the attention
             probabilities (nn.MultiheadAttention(dropout=...)).
     Returns:
@@ -61,7 +63,10 @@ def multihead_attention(
     vh = _split_heads(v, num_heads)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
     if mask is not None:
-        scores = jnp.where(jnp.asarray(mask)[None, None], scores, -jnp.inf)
+        mask = jnp.asarray(mask)
+        if mask.ndim == 2:
+            mask = mask[None, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
     weights = apply_dropout(dropout_rng, weights, dropout)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)

@@ -22,13 +22,38 @@ import numpy as np
 
 def init() -> None:
     """Initialize multi-host JAX if launched distributed (dora-style init,
-    distrib.py:24-29). No-op single-process."""
+    distrib.py:24-29). No-op single-process.
+
+    Two trigger paths:
+
+    * explicit env — ``JAX_COORDINATOR_ADDRESS`` (+ optional
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``), as set per-rank by
+      ``python -m demucs_tpu.launcher``;
+    * managed cluster — Slurm/OpenMPI/k8s/TPU-pod allocations are
+      auto-detected by ``jax.distributed`` (the reference's dora+submitit
+      Slurm integration, conf/config.yaml:294-297, collapses to
+      ``srun python -m demucs_tpu.train ...``). Only multi-task Slurm jobs
+      trigger this, so a plain single-process run inside an allocation stays
+      single-process.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        import jax
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    slurm_tasks = int(os.environ.get("SLURM_NTASKS", "1") or 1)
+    if not coord and slurm_tasks <= 1:
+        return
+    import jax
 
-        jax.distributed.initialize()
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU multi-process collectives need the gloo backend.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coord,
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
 
 
 def world_size() -> int:

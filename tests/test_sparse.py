@@ -48,6 +48,63 @@ def test_combined_mask_is_union():
     np.testing.assert_array_equal(m, md | mg)
 
 
+def test_dynamic_buckets_match_reference():
+    """Our LSH bucket ids equal the reference's _compute_buckets given the
+    same tokens and projections (demucs/transformer.py:818-824)."""
+    import_reference()
+    from demucs.transformer import _compute_buckets as ref_buckets
+
+    import jax.numpy as jnp
+    from demucs_tpu.ops.sparse import compute_buckets
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 50, 16)).astype(np.float32)
+    R = rng.standard_normal((1, 16, 32, 2)).astype(np.float32)
+
+    want = ref_buckets(torch.from_numpy(x), torch.from_numpy(R)).numpy()  # (B, T, h)
+    got = np.asarray(compute_buckets(jnp.asarray(x), jnp.asarray(R[0])))  # (B, h, T)
+    np.testing.assert_array_equal(got.transpose(0, 2, 1), want)
+
+
+def test_dynamic_keep_mask_density_and_diag():
+    """Keep density >= the target (ties kept) and close to it; identical
+    q/k tokens collide in every hash round so the diagonal is always kept."""
+    import jax
+    import jax.numpy as jnp
+    from demucs_tpu.ops.sparse import dynamic_sparse_keep_mask
+
+    rng = np.random.default_rng(3)
+    B, T, C, H = 2, 128, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    sparsity = 0.9
+    keep = np.asarray(dynamic_sparse_keep_mask(
+        q, q, H, sparsity, jax.random.PRNGKey(0)))
+    assert keep.shape == (B, H, T, T)
+    # Self tokens hash identically -> diagonal kept in every head.
+    assert keep[:, :, np.arange(T), np.arange(T)].all()
+    density = keep.mean()
+    assert (1 - sparsity) - 1e-6 <= density < 3.5 * (1 - sparsity)
+
+
+def test_auto_sparsity_htdemucs_runs():
+    from demucs_tpu.models import htdemucs as jht
+
+    cfg = jht.HTDemucsConfig(
+        sources=tuple(SOURCES), channels=16, depth=4, nfft=2048,
+        t_layers=2, t_heads=4, segment=0.5, samplerate=8000,
+        t_sparse_self_attn=True, t_sparse_cross_attn=True,
+        t_auto_sparsity=True, t_sparsity=0.9,
+    )
+    params = jht.init_htdemucs(cfg)
+    mix = random_mix((1, 2, cfg.training_length), seed=51)
+    out = np.asarray(jht.forward(params, jnp.asarray(mix), cfg))
+    assert out.shape == (1, 4, 2, cfg.training_length)
+    assert np.isfinite(out).all()
+    # Deterministic at eval (fixed-seed projections).
+    out2 = np.asarray(jht.forward(params, jnp.asarray(mix), cfg))
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_sparse_htdemucs_runs():
     from demucs_tpu.models import htdemucs as jht
 
