@@ -6,7 +6,12 @@ Runs the flagship HTDemucs (channels=48, nfft=4096, 5 transformer layers,
 inference engine and reports one JSON line:
 
     {"metric": ..., "value": median, "unit": "audio_s/s", "vs_baseline": ...,
-     "min": ..., "max": ..., "samples": [...], "single_track": ...}
+     "min": ..., "max": ..., "samples": [...], "single_track": ...,
+     "no_fetch": ...}
+
+``no_fetch`` is the same dispatch path blocked on-device (no stems
+download): the engine's link-independent rate; headline - no_fetch gap is
+pure wire time on this deployment's ~10-40 MB/s relay.
 
 The headline is the SUSTAINED pipelined multi-track rate (default --tracks 4:
 each track's device->host stems fetch overlaps the next track's compute —
@@ -54,6 +59,8 @@ def main():
                         "of track i+1). 1 = single-track only.")
     parser.add_argument("--no-single", action="store_true",
                         help="skip the extra single-track measurement")
+    parser.add_argument("--no-fetchless", action="store_true",
+                        help="skip the no-fetch (device-resident) measurement")
     parser.add_argument("--flash", action="store_true",
                         help="use the Pallas flash-attention kernel")
     parser.add_argument("--profile", metavar="DIR", default=None,
@@ -141,6 +148,37 @@ def main():
         single = round(
             statistics.median(args.seconds / t / n_chips for t in stimes), 3)
 
+    # No-fetch rate: the same dispatch path (input upload + every device
+    # pass + the wire-format program) blocked on via a scalar reduction of
+    # the device-resident stems instead of downloading them. This is the
+    # sustained rate when stems stay on-chip (on-device eval) and isolates
+    # the engine from the relay's large-transfer weather; the gap between
+    # it and the headline is pure wire time.
+    no_fetch = None
+    if not args.no_fetchless:
+        from demucs_tpu.inference.engine import _dispatch_track
+        import jax.numpy as jnp
+
+        dkw = dict(kw)
+        dkw.pop("split", None)
+
+        @jax.jit
+        def _sync(*leaves):
+            return sum(jnp.sum(x[..., ::4096].astype(jnp.float32))
+                       for x in leaves)
+
+        def run_no_fetch():
+            result = _dispatch_track(model, mixes[0], rng=random.Random(42),
+                                     **dkw)[0]
+            leaves = [x for x in jax.tree.leaves(result)
+                      if isinstance(x, jax.Array)]
+            return float(_sync(*leaves))
+
+        run_no_fetch()  # compile the tiny sync program
+        ftimes = timed(run_no_fetch, max(3, args.repeats - 2))
+        no_fetch = round(
+            statistics.median(args.seconds / t / n_chips for t in ftimes), 3)
+
     median = statistics.median(samples)
     print(
         f"# warmup {warm:.1f}s, runs {[f'{t:.2f}' for t in times]}, "
@@ -159,6 +197,8 @@ def main():
     }
     if single is not None:
         record["single_track"] = single
+    if no_fetch is not None:
+        record["no_fetch"] = no_fetch
     print(json.dumps(record))
 
 
