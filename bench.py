@@ -157,10 +157,14 @@ def main():
     no_fetch = None
     if not args.no_fetchless:
         from demucs_tpu.inference.engine import _dispatch_track
+        from demucs_tpu.parallel.sharded import auto_mesh
         import jax.numpy as jnp
 
         dkw = dict(kw)
         dkw.pop("split", None)
+        # same mesh policy as apply_model so multi-chip hosts reuse the
+        # headline's sharded executable (and the /n_chips normalization holds)
+        dkw["mesh"] = auto_mesh()
 
         @jax.jit
         def _sync(*leaves):

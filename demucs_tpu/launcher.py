@@ -33,6 +33,7 @@ import socket
 import subprocess
 import sys
 import threading
+import time
 import typing as tp
 
 
@@ -94,14 +95,22 @@ def launch(module: str, overrides: tp.Sequence[str], *, n: int,
 
     code = 0
     try:
-        for proc in procs:
-            rc = proc.wait()
-            if rc != 0 and code == 0:
-                code = rc
-                # One rank failed: the collective is wedged for the others —
-                # terminate the exact processes we spawned.
-                for other in procs:
-                    if other.poll() is None:
+        # Wait for ANY rank to exit (not index order): if rank k>0 crashes
+        # while rank 0 is wedged in a collective waiting for it, an ordered
+        # procs[0].wait() would hang until jax's heartbeat timeout.
+        live = list(procs)
+        while live:
+            done = [p for p in live if p.poll() is not None]
+            if not done:
+                time.sleep(0.1)
+                continue
+            live = [p for p in live if p.poll() is None]
+            for p in done:
+                if p.returncode != 0 and code == 0:
+                    code = p.returncode
+                    # One rank failed: the collective is wedged for the
+                    # others — terminate the exact processes we spawned.
+                    for other in live:
                         other.terminate()
     finally:
         for proc in procs:

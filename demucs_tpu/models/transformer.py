@@ -205,6 +205,7 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = onn.linear(q, w_q, b_q)
     kh = onn.linear(k, w_k, b_k)
     vh = onn.linear(v, w_v, b_v)
+    attn_dropout = dropout
     if auto_sparsity:
         # LSH dynamic sparsity on the projected per-head q/k
         # (transformer.py:789-791 routes to dynamic_sparse_attention; static
@@ -217,20 +218,24 @@ def _attn(p: dict, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
         mask = dynamic_sparse_keep_mask(qh, kh, num_heads, auto_sparsity,
                                         sparsity_rng)
         flash = False
+        # the reference's dynamic path never applies attention-probability
+        # dropout (transformer.py:788-791: attn_drop only on the dense
+        # else-branch); proj_drop at the end still applies on both
+        attn_dropout = 0.0
     if flash:
         from demucs_tpu.ops.pallas.attention import flash_mha
 
         rate, seed = 0.0, None
-        if rng is not None and dropout > 0.0:
+        if rng is not None and attn_dropout > 0.0:
             # The kernel's counter-based PRNG is statistically equivalent to
             # (not bit-matching) the host path's bernoulli stream.
-            rate = dropout
+            rate = attn_dropout
             seed = jax.random.randint(rng, (), 0, 2**31 - 1)
         out = flash_mha(qh, kh, vh, num_heads, mask=mask, dropout=rate,
                         dropout_seed=seed)
     else:
         out = multihead_attention(qh, kh, vh, num_heads, mask=mask,
-                                  dropout_rng=rng, dropout=dropout)
+                                  dropout_rng=rng, dropout=attn_dropout)
     out = onn.linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
     if mask is not None:
         # the sparse path's custom MHA also drops after the out-projection

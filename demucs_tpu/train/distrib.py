@@ -32,15 +32,17 @@ def init() -> None:
     * managed cluster — Slurm/OpenMPI/k8s/TPU-pod allocations are
       auto-detected by ``jax.distributed`` (the reference's dora+submitit
       Slurm integration, conf/config.yaml:294-297, collapses to
-      ``srun python -m demucs_tpu.train ...``). Only multi-task Slurm jobs
-      trigger this, so a plain single-process run inside an allocation stays
-      single-process.
+      ``srun python -m demucs_tpu.train ...``). Only multi-task *srun steps*
+      trigger this (SLURM_STEP_NUM_TASKS is set by srun per step), so a
+      plain ``python ...`` in an sbatch batch script — which still inherits
+      SLURM_NTASKS from the allocation — stays single-process instead of
+      blocking on peers that will never start.
     """
     import os
 
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    slurm_tasks = int(os.environ.get("SLURM_NTASKS", "1") or 1)
-    if not coord and slurm_tasks <= 1:
+    step_tasks = int(os.environ.get("SLURM_STEP_NUM_TASKS", "1") or 1)
+    if not coord and step_tasks <= 1:
         return
     import jax
 

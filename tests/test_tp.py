@@ -18,14 +18,6 @@ from demucs_tpu.parallel.tp import (
 )
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_executable_memory():
-    """Same pitfall as tests/test_wiener.py: by this point in the full suite
-    enough compiled executables are live that the big dp x tp train-step
-    compile segfaults in XLA:CPU JIT code memory; drop caches first."""
-    jax.clear_caches()
-
-
 @pytest.fixture(scope="module")
 def model():
     cfg = jht.HTDemucsConfig(sources=tuple(SOURCES), **small_htdemucs_kwargs())

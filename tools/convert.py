@@ -160,7 +160,9 @@ def convert(sig: str, xps: Path, mappings: tp.Dict[str, str],
                 print(f"  recursively converting dependency XP {dep_sig}")
             if dep_sig not in mappings:
                 convert(dep_sig, xps, mappings, verbose, strict)
-            argv[idx] = f"continue_from={mappings[dep_sig]}"
+            # quoted like the reference (convert.py:74): an all-digit or
+            # digits+e signature must stay a string through YAML parsing
+            argv[idx] = f'continue_from="{mappings[dep_sig]}"'
     overrides = argv_to_overrides(argv, verbose=verbose, strict=strict)
     args = apply_overrides(TrainArgs(), overrides)
     new_sig = xp_signature(args)
