@@ -1,0 +1,54 @@
+"""Learning-dynamics proof: the jitted train step can overfit one fixed
+batch. This is the end-to-end gradient/optimizer correctness check the
+reference never had — if any piece of the backward path (conv transposes,
+scan LSTM, attention, STFT round trip) had a wrong gradient, the loss would
+plateau instead of collapsing."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from common import SOURCES
+
+from demucs_tpu.models import htdemucs as jht
+from demucs_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+
+
+def test_overfit_single_batch():
+    cfg = jht.HTDemucsConfig(
+        sources=tuple(SOURCES), channels=8, depth=4, nfft=2048,
+        t_layers=2, t_heads=4, segment=0.5, samplerate=8000,
+    )
+    params = jht.init_htdemucs(cfg, seed=0)
+    tcfg = TrainConfig(lr=3e-3, clip_grad=5.0)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(jht.forward, cfg, tcfg, optimizer))
+
+    rng = np.random.default_rng(11)
+    L = cfg.training_length
+    # Band-limited-ish smooth sources: easier to fit than white noise, so
+    # the test converges fast while still exercising every layer.
+    t = np.arange(L) / cfg.samplerate
+    sources = np.stack([
+        np.stack([np.float32(0.3) * np.sin(2 * np.pi * f * t + p)
+                  for p in (0.0, 1.0)])
+        for f in (55.0, 110.0, 220.0, 440.0)
+    ])[None].astype(np.float32)
+    sources += rng.standard_normal(sources.shape).astype(np.float32) * 0.01
+    sources = jnp.asarray(sources)
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, sources, sub)
+        losses.append(float(metrics["loss"]))
+
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert np.isfinite(losses).all()
+    assert last < first / 5, (first, last, losses[::10])
+    # grad norm stays finite and nonzero throughout (no dead graph)
+    assert float(metrics["grad_norm"]) > 0
