@@ -46,11 +46,18 @@ def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndar
 
 def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length: int,
                     target: int, stride: int, batch_size: int, transition_power: float,
-                    n_sources: int, audio_channels: int, mesh=None):
+                    n_sources: int, audio_channels: int, mesh=None,
+                    shard_axis: tp.Optional[str] = None, shard_size: int = 1):
     """Unjitted (model, shift)-pass over a track of static ``length``.
 
     Dynamic inputs: params, padded track buffer, shift offset, accumulator and
     per-source scale. Returns the updated accumulator.
+
+    ``shard_axis``/``shard_size``: inside a ``shard_map`` body, split the
+    segment forwards over that manual mesh axis (each device computes its
+    contiguous slice, outputs reassembled with one tiled all_gather so the
+    overlap-add runs in the exact sequential order — bit-identical results).
+    Used by the bag fan-out when a member's device group has several chips.
     """
     from demucs_tpu.train.solver import model_forward_fn
 
@@ -60,11 +67,13 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
     # (length + max_shift samples); shorter views mask out the tail segments.
     max_view = length + max_shift
     n_segments = int(math.ceil(max_view / stride))
-    n_batches = int(math.ceil(n_segments / batch_size))
+    per = int(math.ceil(n_segments / shard_size))
+    n_batches = int(math.ceil(per / batch_size))
     # Right-size the per-map batch so padding slots (wasted forwards) are
     # minimal: e.g. 11 segments at batch 8 would run 16 slots; batch 6 runs 12.
-    batch_size = int(math.ceil(n_segments / n_batches))
-    n_pad = n_batches * batch_size
+    batch_size = int(math.ceil(per / n_batches))
+    per = n_batches * batch_size
+    n_pad = per * shard_size
     margin = target  # slack so every centered window stays in bounds
 
     weight_np = _triangle_weight_np(segment_length, transition_power)
@@ -88,7 +97,19 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
 
         segments = jax.vmap(extract)(start_buf)  # (n_pad, C, target)
 
-        if mesh is not None and mesh.devices.size > 1:
+        if shard_axis is not None and shard_size > 1:
+            # Manual (shard_map) segment parallelism within this device
+            # group: slice my contiguous segments, forward them, reassemble
+            # with a tiled all_gather (device order == segment order) so the
+            # scatter-add below sees the identical full `outs`.
+            idx = jax.lax.axis_index(shard_axis)
+            my = jax.lax.dynamic_slice_in_dim(segments, idx * per, per, axis=0)
+            outs = jax.lax.map(
+                lambda seg: forward(params, seg, cfg),
+                my.reshape(n_batches, batch_size, audio_channels, target),
+            ).reshape(per, n_sources, audio_channels, target)
+            outs = jax.lax.all_gather(outs, shard_axis, axis=0, tiled=True)
+        elif mesh is not None and mesh.devices.size > 1:
             # Multi-chip: one forward over all segments, batch dim sharded over
             # the `dp` mesh axis (SPMD — XLA partitions the model replicas and
             # all-gathers the outputs over ICI for the overlap-add).
@@ -159,9 +180,11 @@ def _build_bag_pass_fn(kind: str, cfg, length: int, max_shift: int,
     (shard_map), with one all-reduce summing the stems over ICI — the
     reference runs bag members *sequentially* (apply.py:208-224); this is the
     embarrassingly-parallel TPU win called out in SURVEY.md §2.10."""
+    dp = mesh.devices.size // n_models
     body = _make_pass_body(kind, cfg, length, max_shift, segment_length, target,
                            stride, batch_size, transition_power, n_sources,
-                           audio_channels, mesh=None)
+                           audio_channels, mesh=None,
+                           shard_axis="dp" if dp > 1 else None, shard_size=dp)
     zero = functools.partial(jnp.zeros, (n_sources, audio_channels, length),
                              jnp.float32)
 
@@ -371,16 +394,16 @@ def _dispatch_track(
     totals = np.zeros(n_sources)
 
     # Homogeneous bag on a multi-device mesh: fan members out across the mesh
-    # (one device per model) instead of the reference's sequential loop.
-    # Only when devices == models: with MORE devices, each fan-out group
-    # would compute its member's full pass redundantly (the body is built
-    # single-device), and the sequential segment-sharded path over all
-    # devices is faster.
+    # (a device GROUP per model) instead of the reference's sequential loop.
+    # With more devices than models (evenly divisible), each group also
+    # splits its member's segment forwards over the group's `dp` axis
+    # (manual all_gather keeps the overlap-add order, so results stay
+    # bit-identical to the sequential engine).
     fan_out = (
         mesh is not None
         and len(models) > 1
         and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
-        and mesh.devices.size == len(models)
+        and mesh.devices.size % len(models) == 0
     )
     if fan_out:
         if progress:

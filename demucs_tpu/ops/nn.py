@@ -61,7 +61,15 @@ def std_unbiased(x: jax.Array, axis, keepdims: bool = True) -> jax.Array:
 
 
 def _accum_dtype(x: jax.Array) -> jnp.dtype:
-    return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    """Conv result type = input type.
+
+    On TPU the MXU accumulates partials in fp32 regardless of the HLO result
+    type, and every conv here downcasts to ``x.dtype`` immediately after, so
+    requesting ``preferred_element_type=float32`` for bf16 inputs is
+    numerically a no-op — while making the conv non-differentiable (this JAX
+    version's conv transpose rule rejects cotangent/operand dtype mixes,
+    breaking mixed-precision training)."""
+    return x.dtype
 
 
 def conv1d(

@@ -52,3 +52,38 @@ def test_overfit_single_batch():
     assert last < first / 5, (first, last, losses[::10])
     # grad norm stays finite and nonzero throughout (no dead graph)
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_overfit_mixed_precision():
+    """bf16 forward compute inside the train step (params/grads/optimizer
+    state stay fp32 — mixed precision) still learns."""
+    cfg = jht.HTDemucsConfig(
+        sources=tuple(SOURCES), channels=8, depth=4, nfft=2048,
+        t_layers=2, t_heads=4, segment=0.5, samplerate=8000,
+        compute_dtype="bfloat16",
+    )
+    params = jht.init_htdemucs(cfg, seed=0)
+    tcfg = TrainConfig(lr=3e-3, clip_grad=5.0)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(jht.forward, cfg, tcfg, optimizer))
+
+    t = np.arange(cfg.training_length) / cfg.samplerate
+    sources = jnp.asarray(np.stack([
+        np.stack([np.float32(0.3) * np.sin(2 * np.pi * f * t + p)
+                  for p in (0.0, 1.0)])
+        for f in (55.0, 110.0, 220.0, 440.0)
+    ])[None].astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, sources, sub)
+        losses.append(float(metrics["loss"]))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) / 3, losses[::10]
+    # master weights stay fp32 through the update
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.dtype == jnp.float32

@@ -57,6 +57,31 @@ def test_bag_fanout_matches_sequential(cpu_devices):
     np.testing.assert_allclose(fanned, sequential, atol=5e-5, rtol=1e-4)
 
 
+def test_bag_fanout_group_dp_matches_sequential(cpu_devices):
+    """More devices than members (8 devices, 2 models -> 4-way segment dp
+    inside each fan-out group): the manual all_gather keeps the overlap-add
+    order, so the result matches the sequential engine (up to forward
+    batch-tiling noise, like the devices==models case)."""
+    from demucs_tpu.models.registry import BagOfModels
+
+    _, cfg, params = make_htdemucs_pair()
+    _, _, params2 = make_htdemucs_pair(seed=7)
+    weights = [[1.0, 2.0, 1.0, 0.5], [0.5, 1.0, 1.0, 1.0]]
+    bag = BagOfModels([Model("htdemucs", cfg, params),
+                       Model("htdemucs", cfg, params2)], weights=weights)
+
+    L = int(2.3 * bag.models[0].segment * bag.models[0].samplerate)
+    mix = random_mix((1, 2, L), seed=43)
+
+    sequential = device_apply_model(bag, mix, shifts=0, transfer_dtype=None,
+                                    input_transfer_dtype=None)
+    mesh = make_mesh(8, platform="cpu")  # 2 models x 4-way dp
+    fanned = device_apply_model(bag, mix, mesh=mesh, shifts=0,
+                                transfer_dtype=None, input_transfer_dtype=None)
+    assert fanned.shape == sequential.shape
+    np.testing.assert_allclose(fanned, sequential, atol=5e-5, rtol=1e-4)
+
+
 def test_bag_fanout_shifts_offset_order(cpu_devices):
     """Shift offsets are drawn model-major, matching the sequential engine."""
     from demucs_tpu.models.registry import BagOfModels

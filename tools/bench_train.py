@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--channels", type=int, default=48)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="forward compute dtype (params/grads/optimizer "
+                             "state stay fp32 — mixed-precision training)")
     args = parser.parse_args()
 
     import jax
@@ -37,7 +41,8 @@ def main():
     from demucs_tpu.train.config import TrainArgs, apply_overrides
     from demucs_tpu.train.solver import Solver, make_optimizer
 
-    cfg = ht.HTDemucsConfig(channels=args.channels, segment=args.segment)
+    cfg = ht.HTDemucsConfig(channels=args.channels, segment=args.segment,
+                            compute_dtype=args.dtype)
     params = ht.init_htdemucs(cfg, seed=0)
     model = Model("htdemucs", cfg, params)
     targs = apply_overrides(TrainArgs(), {
