@@ -15,6 +15,7 @@ the shardings too).
 
 from __future__ import annotations
 
+import functools
 import typing as tp
 
 import jax
@@ -61,28 +62,48 @@ def tp_shardings(params: dict, mesh: Mesh) -> dict:
                         is_leaf=lambda x: isinstance(x, P))
 
 
+@functools.lru_cache(maxsize=8)
+def _tp_jitted(kind: str, cfg, mesh: Mesh, batch_axis: tp.Optional[str],
+               treedef, shardings_flat):
+    from demucs_tpu.models.registry import _forward_fns
+
+    raw = _forward_fns()[kind]
+    param_sh = jax.tree.unflatten(treedef, shardings_flat)
+    batch_spec = P(batch_axis) if batch_axis else P()
+    return jax.jit(
+        lambda params, mix: raw(params, mix, cfg),
+        in_shardings=(param_sh, NamedSharding(mesh, batch_spec)),
+        out_shardings=NamedSharding(mesh, batch_spec),
+    )
+
+
 def tp_forward(model, mix, mesh: Mesh, *, batch_axis: tp.Optional[str] = None):
     """Jit the model forward with TP-sharded transformer weights.
 
     ``mix (B, C, L)``; with ``batch_axis="dp"`` on a 2-D mesh the batch is
     additionally split over dp. Returns host numpy stems — a correctness/
     capability entry point (the production engine composes the same specs).
+
+    The jitted executable and the sharded device params are cached per
+    (model, mesh, batch_axis): repeat calls pay neither the compile nor the
+    weight re-upload (25-70 s compiles + a ~20-40 MB/s host link here).
     """
     import jax.numpy as jnp
     import numpy as np
 
-    from demucs_tpu.models.registry import _forward_fns
-
-    raw = _forward_fns()[model.kind]
-    cfg = model.cfg
     param_sh = tp_shardings(model.params, mesh)
-    batch_spec = P(batch_axis) if batch_axis else P()
-    fwd = jax.jit(
-        lambda params, mix: raw(params, mix, cfg),
-        in_shardings=(param_sh, NamedSharding(mesh, batch_spec)),
-        out_shardings=NamedSharding(mesh, batch_spec),
-    )
+    sh_flat, treedef = jax.tree.flatten(param_sh)
+    fwd = _tp_jitted(model.kind, model.cfg, mesh, batch_axis, treedef,
+                     tuple(sh_flat))
+    cache = getattr(model, "_tp_param_cache", None)
+    if cache is None or cache[0] is not mesh:
+        with mesh:
+            cache = (mesh, jax.device_put(model.params, param_sh))
+        try:
+            object.__setattr__(model, "_tp_param_cache", cache)
+        except (AttributeError, TypeError):
+            pass
+    params = cache[1]
     with mesh:
-        params = jax.device_put(model.params, param_sh)
         out = fwd(params, jnp.asarray(mix))
     return np.asarray(out)

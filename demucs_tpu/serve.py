@@ -85,14 +85,26 @@ class SeparationService:
             wav, _sr = read_audio(src, samplerate=sep.samplerate,
                                   channels=sep.model.audio_channels)
             with self._lock:
-                if shifts is not None or overlap is not None:
-                    kw = {}
+                # Per-request overrides are scoped to THIS request: restore
+                # the server's configured defaults afterwards so one client's
+                # ?shifts=0 never leaks into later parameterless requests.
+                restore = {}
+                try:
                     if shifts is not None:
-                        kw["shifts"] = shifts
+                        restore["shifts"] = sep._shifts
                     if overlap is not None:
-                        kw["overlap"] = overlap
-                    sep.update_parameter(**kw)
-                _origin, stems = sep.separate_tensor(wav)
+                        restore["overlap"] = sep._overlap
+                    if restore:
+                        kw = {}
+                        if shifts is not None:
+                            kw["shifts"] = shifts
+                        if overlap is not None:
+                            kw["overlap"] = overlap
+                        sep.update_parameter(**kw)
+                    _origin, stems = sep.separate_tensor(wav)
+                finally:
+                    if restore:
+                        sep.update_parameter(**restore)
 
             if stem is not None:
                 # two-stems mode (separate.py:194-202): the complement is the
@@ -144,7 +156,10 @@ def make_server(service: SeparationService, host: str = "127.0.0.1",
             url = urlparse(self.path)
             if url.path != "/separate":
                 return self._json(404, {"error": f"unknown path {url.path}"})
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                return self._json(400, {"error": "bad Content-Length"})
             if length <= 0:
                 return self._json(400, {"error": "empty body"})
             payload = self.rfile.read(length)

@@ -79,15 +79,9 @@ def quantized_param_names(kind: str, cfg, spec: QuantSpec) -> tp.Tuple[str, ...]
 
 # ---------------------------------------------------------------- pytree utils
 
-def _flatten(params: dict, prefix: str = "") -> dict:
-    flat: dict = {}
-    for key, value in params.items():
-        name = f"{prefix}.{key}" if prefix else str(key)
-        if isinstance(value, dict):
-            flat.update(_flatten(value, name))
-        else:
-            flat[name] = value
-    return flat
+# The dotted-name scheme must stay byte-identical to the zoo walk that
+# zoo.diffq.param_order keys on — use the single canonical implementation.
+from demucs_tpu.zoo.torch_load import flatten_state as _flatten  # noqa: E402
 
 
 def _nest(flat: tp.Mapping[str, tp.Any]) -> dict:

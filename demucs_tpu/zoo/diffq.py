@@ -221,8 +221,20 @@ def quantize_entry(arr: np.ndarray, group_size: int,
     :func:`dequantize_entry`'s affine layout): levels uint8 (bits<=8) or
     int16, scales fp32 ``(G, 2) = [min, max]``, bits uint8 per group.
     ``bits`` may be a scalar or a per-group array (DiffQ learned depths)."""
+    if group_size == 2:
+        # levels of shape (G, 2) are indistinguishable from the decoder's
+        # packed [min, max] scales layout (dequantize_entry's structural
+        # detection) — refuse to emit an ambiguous container.
+        raise ValueError("group_size=2 produces an ambiguous container "
+                         "layout; use group_size >= 3 (default 8)")
+    raw_bits = np.asarray(bits)
+    if raw_bits.max() > 15 or raw_bits.min() < 1:
+        # int16 level storage holds at most 2**15-1 levels; silent wraparound
+        # (at the uint8 cast or the int16 levels) would decode to garbage
+        # weights with no error anywhere.
+        raise ValueError(f"bits must be in [1, 15], got {bits}")
     flat = arr.reshape(-1, group_size) if group_size else arr.reshape(1, -1)
-    bits_arr = np.broadcast_to(np.asarray(bits, np.uint8),
+    bits_arr = np.broadcast_to(raw_bits.astype(np.uint8),
                                (flat.shape[0],)).copy()
     nlev = (2.0 ** bits_arr.astype(np.float64) - 1.0)[:, None]
     mn = flat.min(axis=-1, keepdims=True)

@@ -90,12 +90,34 @@ def _rebuild_tensor(storage: np.ndarray, storage_offset: int, size, stride,
     """numpy reimplementation of ``torch._utils._rebuild_tensor_v2``
     (ignores requires_grad / backward hooks / metadata trailers)."""
     size = tuple(int(s) for s in size)
+    storage_offset = int(storage_offset)
+    if not 0 <= storage_offset <= storage.size:
+        raise ValueError(f"tensor storage_offset {storage_offset} outside "
+                         f"storage of {storage.size} elements")
     if not size:
-        return storage[int(storage_offset)].copy().reshape(())
+        if storage_offset >= storage.size:
+            raise ValueError("scalar tensor offset out of bounds")
+        return storage[storage_offset].copy().reshape(())
+    # Bounds-check the strided extent against the storage BEFORE building the
+    # view: as_strided trusts its arguments, so a crafted checkpoint could
+    # otherwise read arbitrary process memory (this loader's whole point is
+    # safe parsing of untrusted downloads).
+    stride = tuple(int(s) for s in stride)
+    if any(s < 0 for s in stride) or any(d < 0 for d in size):
+        raise ValueError(f"negative tensor stride/size {stride}/{size}")
+    max_index = storage_offset + sum(
+        s * (d - 1) for s, d in zip(stride, size) if d > 0)
+    n_elems = 1
+    for d in size:
+        n_elems *= d
+    if n_elems > 0 and max_index >= storage.size:
+        raise ValueError(
+            f"tensor extent {max_index + 1} exceeds storage of "
+            f"{storage.size} elements (size={size}, stride={stride})")
     itemsize = storage.dtype.itemsize
-    byte_strides = tuple(int(s) * itemsize for s in stride)
+    byte_strides = tuple(s * itemsize for s in stride)
     view = np.lib.stride_tricks.as_strided(
-        storage[int(storage_offset):], shape=size, strides=byte_strides)
+        storage[storage_offset:], shape=size, strides=byte_strides)
     return np.ascontiguousarray(view)
 
 

@@ -87,6 +87,23 @@ def test_dequantize_unknown_layout_raises():
         dequantize_entry((levels, np.ones((4, 1))), (4, 8), {"bits": 8})
 
 
+def test_quantize_entry_validates_bits_and_group_size():
+    """int16 levels cap bits at 15 (silent wraparound otherwise); a group
+    size of 2 would emit a container the decoder's structural detection is
+    guaranteed to misread."""
+    from demucs_tpu.zoo.diffq import quantize_entry
+
+    arr = np.random.default_rng(0).standard_normal(64).astype(np.float32)
+    with pytest.raises(ValueError, match=r"bits must be in \[1, 15\]"):
+        quantize_entry(arr, 8, 16)
+    with pytest.raises(ValueError, match=r"bits must be in \[1, 15\]"):
+        quantize_entry(arr, 8, 0)
+    with pytest.raises(ValueError, match="group_size=2"):
+        quantize_entry(arr, 2, 8)
+    levels, scales, bits = quantize_entry(arr, 8, 15)
+    assert levels.dtype == np.int16 and levels.min() >= 0
+
+
 def test_dequantize_count_mismatch_raises():
     _, cfg, _ = make_htdemucs_pair()
     state = {"__quantized": True, "quantized": [], "others": [],

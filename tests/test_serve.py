@@ -68,6 +68,23 @@ def test_service_matches_api(service, tmp_path):
             np.testing.assert_allclose(stem, want[source], atol=1e-5, rtol=0)
 
 
+def test_per_request_overrides_do_not_leak(service, tmp_path):
+    """A request's ?shifts/?overlap apply to that request only; the next
+    parameterless request runs with the server's configured defaults."""
+    sep = service.separator
+    sr = sep.samplerate
+    wav = random_mix((2, int(1.1 * sr)), seed=13, scale=0.05)
+    blob_default = service.separate_bytes(_wav_bytes(wav, sr, tmp_path),
+                                          float32=True, clip="none")
+    before = (sep._shifts, sep._overlap)
+    service.separate_bytes(_wav_bytes(wav, sr, tmp_path), overlap=0.5,
+                           shifts=0, float32=True, clip="none")
+    assert (sep._shifts, sep._overlap) == before
+    blob_after = service.separate_bytes(_wav_bytes(wav, sr, tmp_path),
+                                        float32=True, clip="none")
+    assert blob_after == blob_default
+
+
 def test_service_two_stems_and_validation(service, tmp_path):
     sep = service.separator
     sr = sep.samplerate

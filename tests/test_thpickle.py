@@ -125,6 +125,25 @@ def test_read_th_rejects_malicious_global(tmp_path):
         read_th(evil)
 
 
+def test_rebuild_tensor_rejects_out_of_bounds():
+    """A crafted size/stride whose extent exceeds the storage must raise
+    instead of building an as_strided view over foreign memory."""
+    import numpy as np
+
+    from demucs_tpu.zoo.thpickle import _rebuild_tensor
+
+    storage = np.zeros(16, np.float32)
+    with pytest.raises(ValueError, match="exceeds storage"):
+        _rebuild_tensor(storage, 0, (2**20,), (2**10,))
+    with pytest.raises(ValueError, match="storage_offset"):
+        _rebuild_tensor(storage, 17, (2,), (1,))
+    with pytest.raises(ValueError, match="negative"):
+        _rebuild_tensor(storage, 0, (4,), (-1,))
+    # exact-fit strided view still works
+    out = _rebuild_tensor(storage, 0, (4, 4), (4, 1))
+    assert out.shape == (4, 4)
+
+
 def test_read_th_rejects_legacy_stream(tmp_path):
     bad = tmp_path / "legacy.th"
     bad.write_bytes(b"\x80\x02}q\x00.")
