@@ -27,23 +27,17 @@ import numpy as np
 
 from demucs_tpu.models.registry import AnyModel, BagOfModels, Model
 
-__all__ = ["apply_model"]
+__all__ = ["apply_model", "apply_model_tracks"]
 
 
 def _accelerator_backend() -> bool:
-    """True when computations will land on an accelerator by default.
-
-    Respects ``jax_default_device`` (set by ``jax.default_device(...)``
-    scopes, e.g. ``Separator(device="cpu")``), falling back to the platform
-    priority order."""
-    import jax
-
+    """True when computations will land on an accelerator by default
+    (shared resolution with ``parallel.sharded.auto_mesh`` so engine and
+    mesh auto-selection can never disagree)."""
     try:
-        dev = jax.config.jax_default_device
-        if dev is not None:
-            platform = dev if isinstance(dev, str) else dev.platform
-            return platform != "cpu"
-        return jax.default_backend() != "cpu"
+        from demucs_tpu.parallel.sharded import default_platform
+
+        return default_platform() != "cpu"
     except RuntimeError:
         return False
 
@@ -211,10 +205,16 @@ def apply_model(
             and mix_arr.ndim == 3
             and mix_arr.shape[0] == 1
         )
-        # Auto-selection requires exact reference numerics: HTDemucs pads every
-        # chunk to its trained segment so the uniform device-side target is
-        # identical; other kinds deviate on tail chunks (see docstring).
-        eligible = base_ok and all(k == "htdemucs" for k in kinds)
+        # Auto-selection requires exact reference numerics: HTDemucs with
+        # use_train_segment pads every chunk to its trained segment so the
+        # uniform device-side target is identical; other kinds — and
+        # htdemucs with use_train_segment=False, whose leaf target is the
+        # chunk's natural length — deviate on tail chunks (see docstring).
+        models_list = (model.models if isinstance(model, BagOfModels)
+                       else [model])
+        eligible = base_ok and all(
+            m.kind == "htdemucs" and m.uses_train_segment
+            for m in models_list)
         device_ok = base_ok and all(
             k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
         if engine == "device" or (eligible and _accelerator_backend()):
@@ -223,6 +223,9 @@ def apply_model(
                     "engine='device' requires split mode, a single (1, C, L) "
                     "track, no callback, and htdemucs/hdemucs/demucs models"
                 )
+            if not transition_power >= 1:
+                raise AssertionError(
+                    "transition_power < 1 leads to weird behavior.")
             from demucs_tpu.inference.engine import device_apply_model
             from demucs_tpu.parallel.sharded import auto_mesh
 
@@ -402,7 +405,9 @@ def apply_model_tracks(
     """
     kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
              else [model.kind])
-    auto_ok = split and all(k == "htdemucs" for k in kinds)
+    models_list = (model.models if isinstance(model, BagOfModels) else [model])
+    auto_ok = split and all(
+        m.kind == "htdemucs" and m.uses_train_segment for m in models_list)
     device_ok = split and all(k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
     use_device = engine == "device" or (
         engine == "auto" and auto_ok and _accelerator_backend())

@@ -36,12 +36,13 @@ from demucs_tpu.models.registry import BagOfModels, Model
 __all__ = ["device_apply_model", "device_separate_tracks"]
 
 
-def _triangle_weight_np(segment_length: int, transition_power: float) -> np.ndarray:
-    weight = np.concatenate([
-        np.arange(1, segment_length // 2 + 1, dtype=np.float32),
-        np.arange(segment_length - segment_length // 2, 0, -1, dtype=np.float32),
-    ])
-    return (weight / weight.max()) ** transition_power
+# Single source of truth for the reference triangle window (apply.py:271-276
+# semantics) — both engines' bit-exact parity depends on sharing it.
+from demucs_tpu.inference.apply import _triangle_weight as _triangle_weight_np  # noqa: E402
+
+# Stacked bag params resident on a mesh, keyed on (member param ids, mesh):
+# re-stacking per track would round-trip ~4x model size over the host link.
+_STACKED_PARAMS_CACHE: dict = {}
 
 
 def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length: int,
@@ -154,11 +155,15 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
 
         out_buf, wsum_buf = jax.lax.fori_loop(0, n_pad, body, (out_buf, wsum_buf))
 
-        # The original track span sits at padded coords [max_shift, max_shift+length)
+        # The original track span sits at padded coords [max_shift,
+        # max_shift+length). Divide by the TRUE weight sum: every in-track
+        # sample is covered by at least one segment so it is > 0 (the host
+        # engine asserts the same, apply.py), and a floor like 1e-12 would
+        # corrupt track-edge samples whose genuine weight sum is below it
+        # (min triangle weight (2/segment_length)**transition_power —
+        # already ~2e-16 at the released segment with power 3).
         lo = margin + max_shift
-        res = out_buf[..., lo : lo + length] / jnp.maximum(
-            wsum_buf[lo : lo + length], 1e-12
-        )
+        res = out_buf[..., lo : lo + length] / wsum_buf[lo : lo + length]
         return accum + scale[:, None, None] * res
 
     return pass_fn
@@ -457,10 +462,16 @@ def _dispatch_track(
         n_shift_passes = max(1, shifts)
         for _ in range(n_shift_passes):
             offset = rng.randint(0, max_shift) if shifts else 0
-            scale = jnp.asarray(model_weights, jnp.float32) / n_shift_passes
+            # Accumulate w*r per pass and fold the shift divisor into the
+            # final normalization (totals * n): for a single unit-weight
+            # model this reproduces the host's sum-then-divide bit-for-bit
+            # at any shift count (w/n per pass would round differently for
+            # shifts >= 3); multi-model bags still differ at the ulp level
+            # (summation association).
+            scale = jnp.asarray(model_weights, jnp.float32)
             accum = pass_fn(sub_model.params, track_dev[key],
                             jnp.int32(offset), accum, scale)
-        totals += np.asarray(model_weights, np.float64)
+        totals += np.asarray(model_weights, np.float64) * n_shift_passes
 
     return _dispatch_final(accum, totals, transfer_dtype, n_sources, C, L,
                            orig_length)
@@ -538,19 +549,29 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
         wire = wire.astype(np.float16)
     track_buf = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire, repl))
 
-    stacked = jax.device_put(
-        jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                     *[m.params for m in models]),
-        by_model,
-    )
+    # Stacking pulls every member's params to host and re-uploads the stack
+    # (~4x model size over this deployment's 20-40 MB/s relay): cache the
+    # stacked DEVICE array across tracks — multi-track bag separation pays
+    # the upload once, not per track.
+    cache_key = (tuple(id(m.params) for m in models), mesh2)
+    stacked = _STACKED_PARAMS_CACHE.get(cache_key)
+    if stacked is None:
+        stacked = jax.device_put(
+            jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                         *[m.params for m in models]),
+            by_model,
+        )
+        _STACKED_PARAMS_CACHE.clear()  # one bag live at a time is the norm
+        _STACKED_PARAMS_CACHE[cache_key] = stacked
 
     n_shift_passes = max(1, shifts)
     # model-major draw order == the sequential engine / host engine
     offs = np.array(
         [[rng.randint(0, max_shift) if shifts else 0
           for _ in range(n_shift_passes)] for _ in models], np.int32)
-    scales = jax.device_put(
-        np.asarray(weights, np.float32) / n_shift_passes, by_model)
+    # w per pass + shift divisor folded into the final normalization — same
+    # rounding policy as the sequential engine loop above.
+    scales = jax.device_put(np.asarray(weights, np.float32), by_model)
 
     pass_fn = _build_bag_pass_fn(
         first.kind, first.cfg, L, max_shift, segment_length, target, stride,
@@ -559,5 +580,5 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
     for s in range(n_shift_passes):
         accum = pass_fn(stacked, track_buf, jax.device_put(offs[:, s], by_model),
                         accum, scales)
-    totals = np.asarray(weights, np.float64).sum(axis=0)
+    totals = np.asarray(weights, np.float64).sum(axis=0) * n_shift_passes
     return accum, totals

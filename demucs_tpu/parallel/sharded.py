@@ -24,6 +24,22 @@ def make_mesh(n_devices: tp.Optional[int] = None, platform: tp.Optional[str] = N
     return Mesh(np.array(devs), axis_names=("dp",))
 
 
+def default_platform() -> str:
+    """The platform computations land on by default: an explicit
+    ``jax_default_device`` (set by ``jax.default_device(...)`` scopes, e.g.
+    ``Separator(device="cpu")``) wins, else the backend priority order. The
+    single source of truth for engine/mesh auto-selection."""
+    import jax
+
+    try:
+        default = jax.config.jax_default_device
+        if default is not None:
+            return default if isinstance(default, str) else default.platform
+        return jax.default_backend()
+    except RuntimeError:
+        return "cpu"
+
+
 def auto_mesh():
     """A ``(dp,)`` mesh over this process's accelerator devices when there
     are several; None on CPU or single-chip hosts. Lets the CLI/API use
@@ -35,16 +51,9 @@ def auto_mesh():
     import jax
     from jax.sharding import Mesh
 
+    if default_platform() == "cpu":
+        return None
     try:
-        default = jax.config.jax_default_device
-        if default is not None:
-            # An explicit default device (e.g. Separator(device="cpu"))
-            # pins execution there; don't build an accelerator mesh.
-            platform = default if isinstance(default, str) else default.platform
-            if platform == "cpu":
-                return None
-        elif jax.default_backend() == "cpu":
-            return None
         devs = jax.local_devices()
     except RuntimeError:
         return None

@@ -33,6 +33,58 @@ def model():
     return Model("htdemucs", cfg, params)
 
 
+def test_high_transition_power_edge_samples(model):
+    """transition_power=3 drives the track-edge weight sums below any naive
+    epsilon floor (regression: a 1e-12 clamp made the first/last samples
+    thousands of times too small); the engine must divide by the true sum
+    like the host engine does."""
+    L = int(2.1 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=34)
+    want = apply_model(model, mix, shifts=0, split=True, overlap=0.25,
+                       transition_power=3.0, engine="host")
+    got = device_apply_model(model, mix, shifts=0, overlap=0.25,
+                             transition_power=3.0, transfer_dtype=None,
+                             input_transfer_dtype=None)
+    edge = np.abs(want[..., 0]).max()
+    assert edge > 0
+    np.testing.assert_allclose(got[..., 0], want[..., 0],
+                               atol=2e-5 * max(edge, 1.0), rtol=1e-3)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_auto_engine_requires_train_segment(model, monkeypatch):
+    """HTDemucs with use_train_segment=False pads leaf chunks to their
+    natural length (host semantics) — engine='auto' must NOT route it to
+    the device engine's uniform-target pass even on an accelerator."""
+    import dataclasses
+
+    from demucs_tpu.inference import apply as apply_mod
+    from demucs_tpu.models import htdemucs as jht
+
+    cfg2 = dataclasses.replace(model.cfg, use_train_segment=False)
+    m2 = Model("htdemucs", cfg2, model.params)
+    L = int(1.7 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=35)
+
+    monkeypatch.setattr(apply_mod, "_accelerator_backend", lambda: True)
+    want = apply_model(m2, mix, shifts=0, split=True, engine="host")
+    got = apply_model(m2, mix, shifts=0, split=True, engine="auto")
+    np.testing.assert_array_equal(got, want)
+    # sanity: a train-segment model under the same monkeypatch does route
+    # to the device engine and still matches
+    got_ts = apply_model(model, mix, shifts=0, split=True, engine="auto",
+                         transfer_dtype=None)
+    want_ts = apply_model(model, mix, shifts=0, split=True, engine="host")
+    np.testing.assert_allclose(got_ts, want_ts, atol=2e-5, rtol=1e-4)
+
+
+def test_device_engine_rejects_sub_one_transition_power(model):
+    mix = random_mix((1, 2, int(1.2 * model.segment * model.samplerate)), seed=36)
+    with pytest.raises(AssertionError, match="transition_power"):
+        apply_model(model, mix, shifts=0, split=True, engine="device",
+                    transition_power=0.5)
+
+
 @pytest.mark.parametrize("track_secs", [3.3, 1.2])
 def test_device_engine_matches_host_split(model, track_secs):
     L = int(track_secs * model.segment * model.samplerate)
@@ -52,6 +104,22 @@ def test_device_engine_matches_host_shifts(model):
                        engine="host", rng=_FixedOffsets(offsets))
     got = device_apply_model(model, mix, shifts=2, overlap=0.25,
                              transfer_dtype=None, input_transfer_dtype=None, rng=_FixedOffsets(offsets))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_device_engine_matches_host_three_shifts(model):
+    """shifts=3 (non-power-of-two divisor): the engine folds the shift
+    divisor into the final normalization, so a single unit-weight model
+    reproduces the host's sum-then-divide rounding (the old w/3-per-pass
+    scaling rounded differently)."""
+    L = int(1.4 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=37)
+    offsets = [777, 2025, 31]
+    want = apply_model(model, mix, shifts=3, split=True, overlap=0.25,
+                       engine="host", rng=_FixedOffsets(offsets))
+    got = device_apply_model(model, mix, shifts=3, overlap=0.25,
+                             transfer_dtype=None, input_transfer_dtype=None,
+                             rng=_FixedOffsets(offsets))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
