@@ -47,7 +47,10 @@ def eval_track(references: np.ndarray, estimates: np.ndarray, win: int, hop: int
     references_t = np.swapaxes(references, 1, 2).astype(np.float64)
     estimates_t = np.swapaxes(estimates, 1, 2).astype(np.float64)
 
-    new_scores = new_sdr(references[None], estimates[None])[0]
+    # the reference casts to double before nsdr (evaluate.py:106-110) —
+    # full-track energy sums in fp32 drift in the last reported digit
+    new_scores = new_sdr(references[None].astype(np.float64),
+                         estimates[None].astype(np.float64))[0]
 
     if not compute_sdr:
         return None, new_scores

@@ -150,8 +150,16 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _per_rank(self) -> int:
+        # DistributedSampler semantics: pad to ceil(n/world)*world with
+        # wrapped-around indices so EVERY rank draws the same example count.
+        # Unequal counts would deadlock multi-host training: the rank with
+        # an extra batch blocks in the train step's cross-process gradient
+        # all-reduce while the others have moved on to the metric allgather.
+        return -(-len(self.dataset) // world_size())
+
     def __len__(self):
-        n = len(range(rank(), len(self.dataset), world_size()))
+        n = self._per_rank()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -162,7 +170,12 @@ class DataLoader:
             order = np.random.default_rng(self.seed + self.epoch).permutation(n)
         else:
             order = np.arange(n)
-        mine = order[rank()::world_size()]
+        world = world_size()
+        if world > 1:
+            total = self._per_rank() * world
+            if total > n:
+                order = np.concatenate([order, order[: total - n]])
+        mine = order[rank()::world]
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 

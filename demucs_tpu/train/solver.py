@@ -31,6 +31,28 @@ from demucs_tpu.train.ema import ModelEMA
 logger = logging.getLogger(__name__)
 
 
+def _merge_state(current: dict, source: tp.Mapping, path: str = "") -> dict:
+    """torch ``load_state_dict(strict=False)`` over param pytrees: keys in
+    both trees load from ``source`` (shape mismatch raises, like torch),
+    keys only in ``current`` keep their values, extra ``source`` keys are
+    ignored."""
+    out: dict = {}
+    for key, cur in current.items():
+        name = f"{path}.{key}" if path else str(key)
+        if key not in source:
+            out[key] = cur
+        elif isinstance(cur, dict):
+            out[key] = _merge_state(cur, source[key], name)
+        else:
+            val = source[key]
+            if np.shape(val) != np.shape(cur):
+                raise ValueError(
+                    f"size mismatch for {name}: checkpoint "
+                    f"{np.shape(val)} vs model {np.shape(cur)}")
+            out[key] = jnp.asarray(val)
+    return out
+
+
 def _summary(metrics):
     return " | ".join(f"{key.capitalize()}={val}" for key, val in metrics.items())
 
@@ -238,9 +260,13 @@ class Solver:
                 loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
                 reco = loss_mat
             elif args.optim.loss == "mse":
+                # The reference batch-SUMS the mse loss: loss stays (B, S)
+                # and `(loss * weights).sum()/weights.sum()` reduces both
+                # dims (solver.py:328-336) — i.e. B x the batch mean. Quirk
+                # or not, gradients/logged loss must match it.
                 loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
                 reco = jnp.sqrt(loss_mat).mean(axis=0)
-                loss_mat = loss_mat.mean(axis=0)
+                loss_mat = loss_mat.sum(axis=0)
             else:
                 raise ValueError(f"Invalid loss {args.optim.loss}")
             loss = (loss_mat * weights).sum() / weights.sum()
@@ -249,6 +275,12 @@ class Solver:
         quant = self._quant
         qnames = self._qnames
         from demucs_tpu.train import quantize as quantize_mod
+
+        qat_ms = 0.0
+        if quant is not None and quant.mode == "qat":
+            flat = quantize_mod._flatten(self.model.params)
+            qat_ms = float(sum(int(np.prod(np.shape(flat[n]))) for n in qnames)
+                           * quant.bits / 8.0 / 2.0**20)
 
         def make_step(with_svd: bool):
             def full_loss(params, qlogits, sources, rng, svd_key, noise_key):
@@ -259,6 +291,7 @@ class Solver:
                     ms = quantize_mod.model_size_mb(qlogits, quant)
                 elif quant is not None:  # fixed-bit QAT (STE)
                     p = quantize_mod.ste_params(params, qnames, quant)
+                    ms = qat_ms  # constant size, logged like the reference's
                 loss, reco = loss_fn(p, sources, rng)
                 penalty = 0.0
                 if with_svd:
@@ -266,8 +299,13 @@ class Solver:
 
                     kw = dataclasses.asdict(args.svd)
                     kw.pop("penalty")
-                    kw["proba"] = 1.0  # host-side rng decides the skip
-                    penalty = svd_penalty(params, key=svd_key, **kw)
+                    # The host-side rng decides the skip, but the reference
+                    # still unbiases the fired penalty by 1/proba
+                    # (svd.py:83 returns total / proba) so the expected
+                    # per-batch regularization is proba-invariant.
+                    fire_proba = kw.pop("proba")
+                    kw["proba"] = 1.0
+                    penalty = svd_penalty(params, key=svd_key, **kw) / fire_proba
                     loss = loss + args.svd.penalty * penalty
                 if quant is not None and quant.mode == "diffq":
                     # model-size term (reference solver.py:339-342)
@@ -303,13 +341,15 @@ class Solver:
             def step(params, opt_state, sources, rng):
                 k_aug, k_model, k_svd, k_noise = jax.random.split(rng, 4)
                 sources = augment(k_aug, sources)
-                (loss, (reco, penalty, _ms)), grads = jax.value_and_grad(
+                (loss, (reco, penalty, ms)), grads = jax.value_and_grad(
                     full_loss, has_aux=True)(params, None, sources, k_model,
                                              k_svd, k_noise)
                 grad_norm = optax.global_norm(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 metrics = {"loss": loss, "reco_per_source": reco, "grad": grad_norm}
+                if quant is not None:
+                    metrics["ms"] = ms
                 if with_svd:
                     metrics["penalty"] = penalty
                 return params, opt_state, metrics
@@ -345,9 +385,10 @@ class Solver:
                 loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
                 reco = loss_mat
             else:
+                # batch-SUM like the reference (see loss_fn note)
                 loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
                 reco = jnp.sqrt(loss_mat).mean(axis=0)
-                loss_mat = loss_mat.mean(axis=0)
+                loss_mat = loss_mat.sum(axis=0)
             loss = (loss_mat * weights).sum() / weights.sum()
             return loss, reco, estimate
 
@@ -463,7 +504,11 @@ class Solver:
             if package.get("best_state") is not None:
                 self.best_state = jax.tree.map(jnp.asarray, package["best_state"])
             source = package["best_state"] if self.args.continue_best else package["state"]
-            self.model.params = jax.tree.map(jnp.asarray, source)
+            # load_state_dict(strict=False) semantics (reference
+            # solver.py:128-130): intersecting keys load, missing/extra keys
+            # are tolerated (fine-tune variants may add/remove submodules),
+            # shape mismatches still error like torch does.
+            self.model.params = _merge_state(self.model.params, source)
             if self.args.continue_opt:
                 self.opt_state = jax.tree.map(
                     lambda ref, v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
@@ -631,6 +676,10 @@ class Solver:
                 }
                 if "ms" in m:
                     losses["ms"] = float(m["ms"])
+                if "penalty" in m:
+                    # reference records the fired svd penalty per batch
+                    # (solver.py:360 losses['penalty'])
+                    losses["penalty"] = float(m["penalty"])
                 for ema in self.emas["batch"]:
                     ema.update(self.model.params)
             else:
@@ -647,9 +696,10 @@ class Solver:
                         loss_mat = np.abs(diff).mean(axis=(2, 3)).mean(axis=0)
                         reco = loss_mat
                     else:
+                        # batch-SUM like the reference (see loss_fn note)
                         loss_mat = (diff**2).mean(axis=(2, 3))
                         reco = np.sqrt(loss_mat).mean(axis=0)
-                        loss_mat = loss_mat.mean(axis=0)
+                        loss_mat = loss_mat.sum(axis=0)
                     loss = float((loss_mat * weights).sum() / weights.sum())
                     losses = {"loss": loss}
                 else:
@@ -669,7 +719,10 @@ class Solver:
             for k, source in enumerate(self.model.sources):
                 losses[f"reco_{source}"] = float(np.asarray(reco)[k])
             losses = averager(losses)
-            if args.max_batches is not None and idx + 1 >= args.max_batches:
+            # reference breaks when idx == max_batches AFTER processing it
+            # (solver.py:396), i.e. max_batches+1 batches per epoch — the
+            # published recipes' epoch contents depend on this quirk.
+            if args.max_batches is not None and idx == args.max_batches:
                 break
             if args.debug and train:
                 break

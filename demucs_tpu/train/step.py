@@ -44,15 +44,22 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def weighted_source_loss(estimate: jax.Array, sources: jax.Array, tcfg: TrainConfig):
-    """Per-source weighted time-domain loss (solver.py:324-336)."""
+    """Per-source weighted time-domain loss (solver.py:324-336).
+
+    Returns ``(loss, reco_per_source)``. For mse the reference batch-SUMS
+    the loss (its ``loss`` stays (B, S) through the weighted sum) and
+    reports RMSE as reco — both quirks preserved."""
     weights = jnp.asarray(tcfg.weights, dtype=estimate.dtype)
     if tcfg.loss == "l1":
         per_source = jnp.mean(jnp.abs(estimate - sources), axis=(0, 2, 3))
+        loss_mat = per_source
     elif tcfg.loss == "mse":
-        per_source = jnp.mean((estimate - sources) ** 2, axis=(0, 2, 3))
+        per_elem = jnp.mean((estimate - sources) ** 2, axis=(2, 3))  # (B, S)
+        per_source = jnp.sqrt(per_elem).mean(axis=0)  # RMSE reco
+        loss_mat = per_elem.sum(axis=0)
     else:
         raise ValueError(f"Invalid loss {tcfg.loss}")
-    loss = (per_source * weights).sum() / weights.sum()
+    loss = (loss_mat * weights).sum() / weights.sum()
     return loss, per_source
 
 

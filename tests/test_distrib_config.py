@@ -45,6 +45,28 @@ def test_loader_batching_and_epochs():
     assert all(np.array_equal(a, b) for a, b in zip(batches2, batches3))
 
 
+def test_loader_pads_ranks_to_equal_batch_counts(monkeypatch):
+    """DistributedSampler semantics: with n not divisible by world, index
+    lists are padded (wrap-around) so every rank yields the SAME number of
+    batches — unequal counts would deadlock the cross-process gradient
+    all-reduce (one rank in the train step, the others in the metric
+    allgather)."""
+    ds = _RangeSet(7)
+    monkeypatch.setattr(distrib, "world_size", lambda: 2)
+    counts, seen = [], []
+    for r in (0, 1):
+        monkeypatch.setattr(distrib, "rank", lambda r=r: r)
+        loader = distrib.loader(ds, batch_size=2, shuffle=False,
+                                drop_last=True)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        counts.append(len(batches))
+        seen.extend(b for batch in batches for b in batch[:, 0, 0].tolist())
+    assert counts[0] == counts[1] == 2
+    # all 7 originals appear at least once across ranks (wrap duplicates ok)
+    assert set(int(v) for v in seen) == set(range(7))
+
+
 def test_loader_workers_match_serial():
     ds = _RangeSet(8)
     serial = list(distrib.loader(ds, batch_size=2))
