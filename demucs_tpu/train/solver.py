@@ -27,6 +27,7 @@ from demucs_tpu.train import distrib
 from demucs_tpu.train.augment import AugmentConfig, make_augment
 from demucs_tpu.train.config import TrainArgs
 from demucs_tpu.train.ema import ModelEMA
+from demucs_tpu.train.step import source_loss
 
 logger = logging.getLogger(__name__)
 
@@ -256,20 +257,7 @@ class Solver:
             else:
                 estimate = forward(params, mix, model.cfg, train=True, rng=rng)
             assert estimate.shape == sources.shape, (estimate.shape, sources.shape)
-            if args.optim.loss == "l1":
-                loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
-                reco = loss_mat
-            elif args.optim.loss == "mse":
-                # The reference batch-SUMS the mse loss: loss stays (B, S)
-                # and `(loss * weights).sum()/weights.sum()` reduces both
-                # dims (solver.py:328-336) — i.e. B x the batch mean. Quirk
-                # or not, gradients/logged loss must match it.
-                loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
-                reco = jnp.sqrt(loss_mat).mean(axis=0)
-                loss_mat = loss_mat.sum(axis=0)
-            else:
-                raise ValueError(f"Invalid loss {args.optim.loss}")
-            loss = (loss_mat * weights).sum() / weights.sum()
+            loss, reco = source_loss(estimate, sources, args.optim.loss, weights)
             return loss, reco
 
         quant = self._quant
@@ -381,15 +369,7 @@ class Solver:
 
         def step(params, mix, sources):
             estimate = forward(params, mix, model.cfg, train=False, rng=None)
-            if args.optim.loss == "l1":
-                loss_mat = jnp.abs(estimate - sources).mean(axis=(2, 3)).mean(axis=0)
-                reco = loss_mat
-            else:
-                # batch-SUM like the reference (see loss_fn note)
-                loss_mat = ((estimate - sources) ** 2).mean(axis=(2, 3))
-                reco = jnp.sqrt(loss_mat).mean(axis=0)
-                loss_mat = loss_mat.sum(axis=0)
-            loss = (loss_mat * weights).sum() / weights.sum()
+            loss, reco = source_loss(estimate, sources, args.optim.loss, weights)
             return loss, reco, estimate
 
         return jax.jit(step)
@@ -691,16 +671,10 @@ class Solver:
                     estimate = apply_model(
                         vmodel, mix, split=args.test.split, overlap=0, shifts=1
                     )
-                    diff = estimate - sources_only
-                    if args.optim.loss == "l1":
-                        loss_mat = np.abs(diff).mean(axis=(2, 3)).mean(axis=0)
-                        reco = loss_mat
-                    else:
-                        # batch-SUM like the reference (see loss_fn note)
-                        loss_mat = (diff**2).mean(axis=(2, 3))
-                        reco = np.sqrt(loss_mat).mean(axis=0)
-                        loss_mat = loss_mat.sum(axis=0)
-                    loss = float((loss_mat * weights).sum() / weights.sum())
+                    loss_j, reco = source_loss(
+                        estimate, sources_only, args.optim.loss, weights)
+                    loss = float(loss_j)
+                    reco = np.asarray(reco)
                     losses = {"loss": loss}
                 else:
                     loss, reco_j, estimate = self._valid_step(

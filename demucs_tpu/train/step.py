@@ -43,24 +43,31 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*steps)
 
 
-def weighted_source_loss(estimate: jax.Array, sources: jax.Array, tcfg: TrainConfig):
-    """Per-source weighted time-domain loss (solver.py:324-336).
+def source_loss(estimate, sources, kind: str, weights):
+    """The reference's weighted per-source time-domain loss
+    (solver.py:324-336), shared by every loss site (train step, jitted
+    valid, host valid_apply). Returns ``(loss, reco_per_source)``.
 
-    Returns ``(loss, reco_per_source)``. For mse the reference batch-SUMS
-    the loss (its ``loss`` stays (B, S) through the weighted sum) and
-    reports RMSE as reco — both quirks preserved."""
-    weights = jnp.asarray(tcfg.weights, dtype=estimate.dtype)
-    if tcfg.loss == "l1":
+    For mse the reference batch-SUMS the loss (its per-batch loss matrix
+    stays (B, S) through the weighted reduction) and reports RMSE as reco —
+    both quirks preserved."""
+    weights = jnp.asarray(weights, dtype=jnp.asarray(estimate).dtype)
+    if kind == "l1":
         per_source = jnp.mean(jnp.abs(estimate - sources), axis=(0, 2, 3))
         loss_mat = per_source
-    elif tcfg.loss == "mse":
+    elif kind == "mse":
         per_elem = jnp.mean((estimate - sources) ** 2, axis=(2, 3))  # (B, S)
         per_source = jnp.sqrt(per_elem).mean(axis=0)  # RMSE reco
         loss_mat = per_elem.sum(axis=0)
     else:
-        raise ValueError(f"Invalid loss {tcfg.loss}")
+        raise ValueError(f"Invalid loss {kind}")
     loss = (loss_mat * weights).sum() / weights.sum()
     return loss, per_source
+
+
+def weighted_source_loss(estimate: jax.Array, sources: jax.Array, tcfg: TrainConfig):
+    """:func:`source_loss` with the knobs taken from a TrainConfig."""
+    return source_loss(estimate, sources, tcfg.loss, tcfg.weights)
 
 
 def make_train_step(
