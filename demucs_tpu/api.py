@@ -234,19 +234,30 @@ class Separator:
                 meta.append((file, wav, mean, std))
                 yield ((wav - mean) / (std + 1e-8))[None]
 
-        with _device_scope(self._jax_device):
-            it = apply_model_tracks(
-                self._model, _mixes(),
-                segment=self._segment, shifts=self._shifts, split=self._split,
-                overlap=self._overlap, progress=self._progress,
-                batch_size=self._batch_size, engine=self._engine,
-                transfer_dtype=self._transfer_dtype,
-                length_bucket_seconds=self._length_bucket_seconds,
-            )
-            for i, out in enumerate(it):
-                file, wav, mean, std = meta[i]
-                out = out * (std + 1e-8) + mean
-                yield file, wav, dict(zip(self._model.sources, out[0]))
+        it = apply_model_tracks(
+            self._model, _mixes(),
+            segment=self._segment, shifts=self._shifts, split=self._split,
+            overlap=self._overlap, progress=self._progress,
+            batch_size=self._batch_size, engine=self._engine,
+            transfer_dtype=self._transfer_dtype,
+            length_bucket_seconds=self._length_bucket_seconds,
+        )
+        # Enter the device scope only around each next(): holding it across
+        # `yield` would leak the thread-local default device into whatever
+        # JAX work the caller does between tracks (or forever, if they stop
+        # iterating early).
+        i = 0
+        while True:
+            with _device_scope(self._jax_device):
+                try:
+                    out = next(it)
+                except StopIteration:
+                    break
+            file, wav, mean, std = meta[i]
+            meta[i] = None  # release the decoded waveform (~85 MB / 4-min track)
+            i += 1
+            out = out * (std + 1e-8) + mean
+            yield file, wav, dict(zip(self._model.sources, out[0]))
         if load_error:
             raise load_error[0]
 

@@ -175,9 +175,16 @@ def main(opts=None):
         valid_tracks.append(track)
     # Pipelined: on the device engine, track i's stems fetch (and stem
     # writes) overlap track i+1's compute.
-    for track, origin, res in separator.separate_audio_files(valid_tracks):
-        print(f"Separating track {track}")
+    def _announced(tracks):
+        for t in tracks:
+            # announce when the track is picked up for decoding/dispatch
+            # (separate.py:141 prints before processing), not when its
+            # already-finished stems come out of the pipeline
+            print(f"Separating track {t}")
+            yield t
 
+    for track, origin, res in separator.separate_audio_files(
+            _announced(valid_tracks)):
         ext = "mp3" if args.mp3 else ("flac" if args.flac else "wav")
         kwargs = {
             "samplerate": separator.samplerate,

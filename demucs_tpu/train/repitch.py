@@ -94,11 +94,15 @@ class RepitchedWrapper:
         out_length = int((1 - 0.01 * self.max_tempo) * in_length)
 
         if random.random() < self.proba:
-            delta_pitch = random.randint(-self.max_pitch, self.max_pitch)
-            delta_tempo = random.gauss(0, self.tempo_std)
-            delta_tempo = min(max(-self.max_tempo, delta_tempo), self.max_tempo)
             outs = []
+            delta_pitch = delta_tempo = 0.0
             for idx, stream in enumerate(streams):
+                if idx == 0 or not self.same:
+                    # same=False redraws per source (repitch.py:42-45)
+                    delta_pitch = random.randint(-self.max_pitch, self.max_pitch)
+                    delta_tempo = random.gauss(0, self.tempo_std)
+                    delta_tempo = min(max(-self.max_tempo, delta_tempo),
+                                      self.max_tempo)
                 stream = repitch(
                     stream, delta_pitch, delta_tempo,
                     voice=idx in self.vocals, samplerate=self.samplerate,

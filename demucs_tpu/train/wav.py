@@ -60,7 +60,9 @@ def _track_metadata(track: Path, sources, normalize=True, ext=EXT) -> dict:
             wav, _ = dta.read_wav(file)
             mono = wav.mean(0)
             mean = float(mono.mean())
-            std = float(mono.std())
+            # torch .std() is unbiased (ddof=1, wav.py:72) — the cached
+            # metadata normalization must match the reference's
+            std = float(mono.std(ddof=1))
     return {"length": track_length, "mean": mean, "std": std,
             "samplerate": track_samplerate}
 

@@ -152,6 +152,7 @@ class RemoteRepo(ModelOnlyRepo):
             )
         filename = url.rsplit("/", 1)[-1]
         target = self.cache_dir / filename
+        checksum = filename.rsplit("-", 1)[-1].split(".", 1)[0]
         if not target.exists():
             self.cache_dir.mkdir(parents=True, exist_ok=True)
             import urllib.request
@@ -159,6 +160,11 @@ class RemoteRepo(ModelOnlyRepo):
             try:
                 tmp = target.with_suffix(".tmp")
                 urllib.request.urlretrieve(url, tmp)
+                # verify BEFORE installing into the cache (torch.hub
+                # check_hash semantics): a captive portal / truncated
+                # download must not poison the cache and fail every later
+                # run until manually deleted.
+                check_checksum(tmp, checksum)
                 tmp.rename(target)
             except OSError as exc:
                 raise ModelLoadingError(
@@ -166,8 +172,11 @@ class RemoteRepo(ModelOnlyRepo):
                     f"network access, place the checkpoint at {target} or use a "
                     "local --repo directory."
                 )
-        checksum = filename.rsplit("-", 1)[-1].split(".", 1)[0]
-        check_checksum(target, checksum)
+            except ModelLoadingError:
+                tmp.unlink(missing_ok=True)
+                raise
+        else:
+            check_checksum(target, checksum)
         return _model_from_file(target)
 
     def list_model(self) -> tp.Dict[str, tp.Union[str, Path]]:
@@ -186,10 +195,16 @@ class LocalRepo(ModelOnlyRepo):
         self._models: tp.Dict[str, Path] = {}
         self._checksums: tp.Dict[str, str] = {}
         for file in self.root.iterdir():
-            if file.suffix in (".th", ".dmx"):
-                if "-" in file.stem:
-                    xp_sig, checksum = file.stem.split("-")
-                    self._checksums[xp_sig] = checksum
+            if file.suffix in (".th", ".dmx", ".npz"):
+                stem, dash, tail = file.stem.rpartition("-")
+                if dash and len(tail) == 8 and all(
+                        c in "0123456789abcdef" for c in tail):
+                    # SIG-CHECKSUM naming (8-hex sha256 prefix); other
+                    # dashes belong to the name itself — e.g. a user's
+                    # "my-model-v2.dmx" loads unchecksummed instead of
+                    # crashing the whole repo scan.
+                    xp_sig = stem
+                    self._checksums[xp_sig] = tail
                 else:
                     xp_sig = file.stem
                 if xp_sig in self._models:
