@@ -164,7 +164,15 @@ def _parse_wav_header(path) -> tp.Tuple[tuple, int, int]:
             chunk_id, chunk_size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", f.read(16))
-                f.seek(chunk_size + (chunk_size & 1) - 16, 1)
+                rest = f.read(chunk_size + (chunk_size & 1) - 16)
+                if fmt[0] == 0xFFFE and len(rest) >= 24:
+                    # WAVE_FORMAT_EXTENSIBLE: the real format code is the
+                    # first two bytes of the 16-byte SubFormat GUID (after
+                    # cbSize(2) + validBits(2) + channelMask(4)) — guessing
+                    # it from the bit depth misreads 32-bit int PCM as
+                    # IEEE float (garbage decode).
+                    sub = struct.unpack_from("<H", rest, 8)[0]
+                    fmt = (sub,) + fmt[1:]
             elif chunk_id == b"data":
                 data_off = f.tell()
                 data_size = chunk_size
@@ -193,8 +201,6 @@ def read_wav(path, frame_offset: int = 0,
     with open(path, "rb") as f:
         f.seek(data_off + frame_offset * block_align)
         data = f.read(num_frames * block_align)
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits in (16, 24) else 3
     if audio_format == 3 and bits == 32:
         arr = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_format == 1 and bits == 16:

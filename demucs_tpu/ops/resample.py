@@ -35,9 +35,12 @@ def _kernels_np(old_sr: int, new_sr: int, zeros: int, rolloff: float):
         window = np.cos(t / zeros / 2 * math.pi) ** 2
         t = t * math.pi
         kernel = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * window
+        # julius renormalizes each phase kernel by its own sum so a constant
+        # signal is preserved exactly (no per-phase DC ripple); the analytic
+        # sr/old_sr scale leaves truncation ripple julius doesn't have.
+        kernel /= kernel.sum()
         kernels.append(kernel)
-    scale = sr / old_sr
-    return (np.stack(kernels) * scale).astype(np.float32), width
+    return np.stack(kernels).astype(np.float32), width
 
 
 def resample_frac(
@@ -53,7 +56,10 @@ def resample_frac(
     kernel = jnp.asarray(kernels)[:, None, :]  # (new_sr, 1, K)
     *shape, length = x.shape
     xr = x.reshape(-1, 1, length)
-    xr = jnp.pad(xr, [(0, 0), (0, 0), (width, width + old_sr)])
+    # julius pads with edge replication (F.pad mode='replicate'), not zeros —
+    # zero padding diverges from the reference over the first/last ~width
+    # samples of every resample (audible at Demucs-v2 segment boundaries).
+    xr = jnp.pad(xr, [(0, 0), (0, 0), (width, width + old_sr)], mode="edge")
     y = jax.lax.conv_general_dilated(
         xr, kernel, window_strides=(old_sr,), padding=[(0, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),

@@ -239,7 +239,9 @@ def istft(
     Args:
         z: complex ``(..., n_fft // 2 + 1, n_frames)``.
     Returns:
-        real ``(..., length)`` (or full uncropped OLA length minus center pad).
+        real ``(..., length)`` (with ``length=None``: the torch.istft
+        default length, i.e. the OLA output minus the center pad on both
+        ends).
     """
     method = method or _default_method()
     n_frames = z.shape[-1]
@@ -291,9 +293,12 @@ def istft(
     y = y / jnp.maximum(env, 1e-11)
     if center:
         pad = n_fft // 2
-        y = y[..., pad:]
         if length is not None:
-            y = y[..., :length]
+            y = y[..., pad : pad + length]
+        else:
+            # torch.istft(center=True, length=None) trims the center pad on
+            # BOTH ends (y[pad:-pad]), not just the left
+            y = y[..., pad : y.shape[-1] - pad]
     elif length is not None:
         y = y[..., :length]
     return y

@@ -42,11 +42,15 @@ def time_stretch(wav: np.ndarray, rate: float, frame: int = 2048,
     assert wav.ndim == 2, wav.shape
     C, T = wav.shape
     out_len = int(round(T / rate))
-    if abs(rate - 1.0) < 1e-9 or T <= frame + 2 * search:
-        out = wav[:, :out_len]
-        if out.shape[-1] < out_len:
-            out = np.pad(out, [(0, 0), (0, out_len - out.shape[-1])])
-        return out.copy()
+    if abs(rate - 1.0) < 1e-9:
+        return wav[:, :out_len].copy()
+    if T <= frame + 2 * search:
+        # Too short for WSOLA framing: plain resampling by 1/rate changes
+        # duration correctly (with a pitch shift — unavoidable without
+        # frames), instead of returning the input truncated/zero-padded.
+        ratio = np.float64(out_len) / max(T, 1)
+        idx = np.minimum((np.arange(out_len) / ratio).astype(np.int64), T - 1)
+        return wav[:, idx].astype(wav.dtype)
 
     hop = frame - overlap
     x = wav.astype(np.float64)

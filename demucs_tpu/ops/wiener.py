@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 __all__ = ["wiener", "apply_wiener"]
 
-_EPS = 1e-7
+# openunmix filtering.py defaults: eps=1e-10 weights the R normalization;
+# the E-step covariance is regularized with sqrt(eps)*I = 1e-5*I (100x
+# stronger than eps*I — it is what keeps near-singular bins stable).
+_EPS = 1e-10
 
 
 def _inv_hermitian(m: jax.Array) -> jax.Array:
@@ -62,9 +65,9 @@ def expectation_maximization(y: jax.Array, x: jax.Array, iterations: int = 2,
         den = eps + jnp.sum(v, axis=0)  # (F, S)
         R = num / den[:, None, None, :]
 
-        # E-step
+        # E-step (openunmix regularizes with sqrt(eps) * I)
         Cx = jnp.einsum("tfs,fcds->tfcd", v, R)
-        Cx = Cx + eps * jnp.eye(x.shape[-1], dtype=Cx.dtype)
+        Cx = Cx + (eps ** 0.5) * jnp.eye(x.shape[-1], dtype=Cx.dtype)
         inv_Cx = _inv_hermitian(Cx)  # (T, F, C, C)
         # gain_j = v_j R_j Cx^-1 ; y_j = gain_j x
         y = jnp.einsum("tfs,fcds,tfde,tfe->tfcs", v, R, inv_Cx, x)
@@ -118,16 +121,29 @@ def apply_wiener(mag_out: jax.Array, mix_stft: jax.Array, niters: int,
     mags = jnp.transpose(mag_out, (0, 4, 3, 2, 1))  # (B, T, F, C, S)
     mix = jnp.transpose(mix_stft, (0, 3, 2, 1))  # (B, T, F, C)
 
-    outs = []
-    for sample in range(B):
-        chunks = []
-        for pos in range(0, T, wiener_win_len):
-            frame = slice(pos, min(pos + wiener_win_len, T))
-            z_out = wiener(mags[sample, frame], mix[sample, frame], niters,
-                           residual=residual)
-            chunks.append(z_out)
-        outs.append(jnp.concatenate(chunks, axis=0))
-    out = jnp.stack(outs, axis=0)  # (B, T, F, C, S[+1])
+    # One EM graph per WINDOW SHAPE, not per window: the trailing window is
+    # zero-padded to wiener_win_len and all (B * n_win) windows run through
+    # lax.map over a single traced body. Zero frames are numerics-neutral:
+    # they add nothing to the R statistics (v = 0), their own outputs are
+    # zero and sliced away, and they cannot raise the window's conditioning
+    # max. The per-(sample, window) EM locality of the reference loop is
+    # preserved exactly; compile time/graph size no longer grow with track
+    # length (the unrolled form deterministically exhausted XLA:CPU JIT code
+    # memory on long tracks).
+    n_win = -(-T // wiener_win_len)
+    Tp = n_win * wiener_win_len
+    if Tp != T:
+        mags = jnp.pad(mags, [(0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)])
+        mix = jnp.pad(mix, [(0, 0), (0, Tp - T), (0, 0), (0, 0)])
+    mw = mags.reshape(B * n_win, wiener_win_len, Fq, C, S)
+    xw = mix.reshape(B * n_win, wiener_win_len, Fq, C)
+
+    def one(args):
+        m, x = args
+        return wiener(m, x, niters, residual=residual)
+
+    out = jax.lax.map(one, (mw, xw))  # (B*n_win, W, F, C, S[+1])
+    out = out.reshape(B, Tp, Fq, C, -1)[:, :T]
     if residual:
         out = out[..., :-1]
     out = jnp.transpose(out, (0, 4, 3, 2, 1))

@@ -98,6 +98,37 @@ def test_wav_roundtrip_bit_depths(tmp_path):
     np.testing.assert_array_equal(got, wav)
 
 
+def test_wave_format_extensible_decodes_by_subformat(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE declares the real codec in the SubFormat GUID:
+    a 32-bit int PCM extensible file must NOT be decoded as IEEE float
+    (which turns every sample into denormal garbage)."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    wav = np.clip(rng.standard_normal((2, 500)) * 0.3, -1, 1).astype(np.float32)
+    ints = (wav.T.astype(np.float64) * (2**31 - 1)).astype("<i4")
+    payload = ints.tobytes()
+    C, bits = 2, 32
+    block = C * bits // 8
+    # fmt chunk: WAVE_FORMAT_EXTENSIBLE (0xFFFE) + 22-byte extension:
+    # validBits(2) + channelMask(4) + SubFormat GUID (16, PCM = KSDATAFORMAT
+    # _SUBTYPE_PCM whose first two bytes are the format code 1)
+    pcm_guid = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+                b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    ext = struct.pack("<HI", bits, 0b11) + pcm_guid
+    fmt = struct.pack("<HHIIHH", 0xFFFE, C, 44100, 44100 * block, block, bits)
+    fmt += struct.pack("<H", len(ext)) + ext
+    p = tmp_path / "ext.wav"
+    with open(p, "wb") as f:
+        body = (b"WAVE"
+                + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                + struct.pack("<4sI", b"data", len(payload)) + payload)
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    got, sr = dta.read_wav(p)
+    assert sr == 44100
+    np.testing.assert_allclose(got, wav, atol=2e-5)
+
+
 def test_separator_api_surface(track):
     from demucs_tpu.api import Separator
 

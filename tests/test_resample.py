@@ -36,7 +36,10 @@ def test_upsample_shape_and_dc():
     x = jnp.ones((1, 1, 1000), jnp.float32)
     y = np.asarray(resample_frac(x, 1, 2))
     assert y.shape == (1, 1, 2000)
-    assert np.abs(y[..., 100:-100] - 1.0).max() < 1e-3
+    # julius semantics: per-phase kernel renormalization + replicate padding
+    # preserve a constant EXACTLY, including the edges (zero padding / the
+    # analytic sr/old_sr scale would both break this)
+    assert np.abs(y - 1.0).max() < 5e-6, np.abs(y - 1.0).max()
 
 
 def test_fractional_ratio():

@@ -76,6 +76,23 @@ def test_istft_matches_torch(n_fft, hop, L):
     np.testing.assert_allclose(yj, x, atol=1e-4, rtol=1e-4)
 
 
+def test_istft_default_length_matches_torch():
+    """length=None must reproduce torch.istft's default output length (the
+    center pad trimmed on BOTH ends — a left-only trim leaves n_fft//2
+    trailing window-tapered samples)."""
+    n_fft, hop, L = 512, 128, 4410
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, L)).astype(np.float32)
+    z = _torch_spectro(torch.from_numpy(x), n_fft, hop)
+    yt = torch.istft(
+        z.reshape(-1, *z.shape[-2:]), n_fft, hop,
+        window=torch.hann_window(n_fft), normalized=True, center=True,
+    ).reshape(2, -1).numpy()
+    yj = np.asarray(jspec.istft(jnp.asarray(z.numpy()), n_fft, hop))
+    assert yj.shape == yt.shape, (yj.shape, yt.shape)
+    np.testing.assert_allclose(yj, yt, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("L", [44100, 343980, 1000])
 def test_demucs_spec_shapes_and_parity(L):
     """demucs _spec convention: z has exactly (nfft//2, ceil(L/hop)) cells."""

@@ -94,7 +94,7 @@ def test_em_single_iteration_hand_derived():
     adjugate, loops vs the einsum chain)."""
     rng = np.random.default_rng(5)
     T, Fq, C, S = 3, 1, 2, 2
-    eps = 1e-7
+    eps = 1e-10  # openunmix default
     y0 = (rng.standard_normal((T, Fq, C, S))
           + 1j * rng.standard_normal((T, Fq, C, S))).astype(np.complex64)
     x = (rng.standard_normal((T, Fq, C))
@@ -109,7 +109,8 @@ def test_em_single_iteration_hand_derived():
         num = sum(np.outer(y[t, :, s], np.conj(y[t, :, s])) for t in range(T))
         R[s] = num / (eps + v[:, s].sum())
     for t in range(T):
-        Cx = sum(v[t, s] * R[s] for s in range(S)) + eps * np.eye(C)
+        # openunmix regularizes with sqrt(eps) * I = 1e-5 * I
+        Cx = sum(v[t, s] * R[s] for s in range(S)) + np.sqrt(eps) * np.eye(C)
         inv = np.linalg.inv(Cx)
         for s in range(S):
             want[t, :, s] = v[t, s] * (R[s] @ inv @ x[t, 0])

@@ -56,13 +56,16 @@ def _install_stubs():
             window = torch.cos(t / zeros_f / 2 * _math.pi) ** 2
             t = t * _math.pi
             kernel = torch.where(t == 0, torch.tensor(1.0), t.sin() / t) * window
+            # julius: per-phase renormalization preserves constants exactly
+            kernel = kernel / kernel.sum()
             kernels.append(kernel)
-        scale = sr / old_sr
-        kernel = torch.stack(kernels).view(new_sr, 1, -1).mul_(scale)
+        kernel = torch.stack(kernels).view(new_sr, 1, -1)
         *shape, length = x.shape
         x = x.reshape(-1, 1, length)
+        # julius: replicate edge padding, not zeros
         y = torch.nn.functional.conv1d(
-            torch.nn.functional.pad(x, (width, width + old_sr)), kernel, stride=old_sr
+            torch.nn.functional.pad(x, (width, width + old_sr), mode="replicate"),
+            kernel, stride=old_sr,
         )
         y = y.transpose(1, 2).reshape(list(shape) + [-1])
         target = int(_Fraction(length * new_sr, old_sr))
