@@ -79,6 +79,23 @@ class _V2Layout:
 
 
 @functools.lru_cache(maxsize=None)
+def convtr_param_names(cfg: DemucsConfig) -> tp.FrozenSet[str]:
+    """Dotted names of the decoder ConvTranspose1d weights. The v2 decoder
+    dict uses positional keys (mirroring init_demucs's layout below), so the
+    SVD penalty's transposed-conv handling (reference svd.py:58-61 checks
+    isinstance) needs this explicit enumeration."""
+    lay = layout(cfg)
+    names = []
+    for index in range(cfg.depth):
+        pos = 0
+        if cfg.rewrite:
+            pos += 3
+        if lay.dec_dconv[index] is not None:
+            pos += 1
+        names.append(f"decoder.{cfg.depth - 1 - index}.{pos}.weight")
+    return frozenset(names)
+
+
 def layout(cfg: DemucsConfig) -> _V2Layout:
     enc_dconv, dec_dconv, enc_norm, chans = [], [], [], []
     channels = cfg.channels

@@ -17,21 +17,16 @@ import jax
 
 
 def _forward_fns():
+    # no ImportError guards: all three modules are first-party — swallowing
+    # a genuine import failure inside one of them would resurface later as a
+    # bare KeyError with the root cause lost
     from demucs_tpu.models import htdemucs as m_ht
 
-    fns = {"htdemucs": m_ht.forward}
-    try:
-        from demucs_tpu.models import hdemucs as m_h
+    from demucs_tpu.models import demucs as m_d
+    from demucs_tpu.models import hdemucs as m_h
 
-        fns["hdemucs"] = m_h.forward
-    except ImportError:
-        pass
-    try:
-        from demucs_tpu.models import demucs as m_d
-
-        fns["demucs"] = m_d.forward
-    except ImportError:
-        pass
+    fns = {"htdemucs": m_ht.forward, "hdemucs": m_h.forward,
+           "demucs": m_d.forward}
     return fns
 
 
@@ -121,7 +116,11 @@ class BagOfModels:
             assert other.samplerate == first.samplerate
             assert other.audio_channels == first.audio_channels
             if segment is not None:
-                if not other.uses_train_segment and segment > other.segment:
+                # the reference never overrides ANY HTDemucs (apply.py:53-55
+                # checks isinstance, not use_train_segment), so an
+                # htdemucs(use_train_segment=False) keeps its own segment
+                # and max_allowed_segment stays honest
+                if other.kind != "htdemucs" and segment > other.segment:
                     other.segment = segment
 
         self.audio_channels = first.audio_channels

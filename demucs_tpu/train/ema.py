@@ -19,8 +19,12 @@ def _is_f32(x) -> bool:
 
 @jax.jit
 def _ema_update(state, params, w):
+    # non-f32 leaves track the LIVE params (the reference's swap only
+    # touches fp32 keys, leaving the rest at their current values) — keeping
+    # the stale state leaf would silently revert e.g. an int buffer to its
+    # value at EMA construction when the EMA state is installed/saved
     return jax.tree.map(
-        lambda s, p: (1 - w) * s + w * p if _is_f32(p) else s, state, params
+        lambda s, p: (1 - w) * s + w * p if _is_f32(p) else p, state, params
     )
 
 

@@ -283,17 +283,20 @@ class Solver:
                 loss, reco = loss_fn(p, sources, rng)
                 penalty = 0.0
                 if with_svd:
-                    from demucs_tpu.train.svd import svd_penalty
+                    from demucs_tpu.train.svd import convtr_names_for, svd_total
 
                     kw = dataclasses.asdict(args.svd)
                     kw.pop("penalty")
-                    # The host-side rng decides the skip, but the reference
-                    # still unbiases the fired penalty by 1/proba
+                    # The host-side rng (in the dispatch below) decides the
+                    # skip — svd_total is the trace-safe core — but the
+                    # reference still unbiases the fired penalty by 1/proba
                     # (svd.py:83 returns total / proba) so the expected
                     # per-batch regularization is proba-invariant.
                     fire_proba = kw.pop("proba")
-                    kw["proba"] = 1.0
-                    penalty = svd_penalty(params, key=svd_key, **kw) / fire_proba
+                    penalty = svd_total(
+                        params, key=svd_key,
+                        convtr_names=convtr_names_for(self.model), **kw,
+                    ) / fire_proba
                     loss = loss + args.svd.penalty * penalty
                 if quant is not None and quant.mode == "diffq":
                     # model-size term (reference solver.py:339-342)
@@ -502,7 +505,7 @@ class Solver:
             "loss": format(metrics["loss"], ".4f"),
             "reco": format(metrics["reco"], ".4f"),
         }
-        for key in ("nsdr", "grad", "ms", "best", "bname"):
+        for key in ("nsdr", "grad", "ms", "penalty", "best", "bname"):
             if key in metrics:
                 val = metrics[key]
                 losses[key] = val if isinstance(val, str) else format(val, ".4f")
@@ -565,6 +568,16 @@ class Solver:
             history_vals = [m["valid"][key] for m in self.history] + [valid_loss]
             best_loss = max(history_vals) if key.startswith("nsdr") else min(history_vals)
             metrics["valid"]["best"] = best_loss
+            if self.args.svd.penalty > 0:
+                # reference logs the exact-SVD penalty each valid epoch
+                # (solver.py:237-242), including its stochastic proba skip
+                from demucs_tpu.train.svd import convtr_names_for, svd_penalty
+
+                kw = dataclasses.asdict(self.args.svd)
+                kw.pop("penalty")
+                metrics["valid"]["penalty"] = float(svd_penalty(
+                    self.model.params, exact=True,
+                    convtr_names=convtr_names_for(self.model), **kw))
             logger.info("Valid Summary | Epoch %d | %s", epoch + 1,
                         _summary(self._format_train(metrics["valid"])))
 

@@ -76,6 +76,32 @@ class ConcatDataset:
         raise IndexError(index)
 
 
+class Subset:
+    """Lazy index view (torch Subset): items load at iteration time, not at
+    dataset construction — full-cv valid items are whole tracks (~hundreds
+    of MB each), so materializing them up front would blow host RAM."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, index):
+        return self.dataset[self.indices[index]]
+
+
+def random_subset(dataset, max_samples: int, seed: int = 42):
+    """utils.py:113-119 equivalent (numpy rng instead of torch.Generator)."""
+    if max_samples >= len(dataset):
+        return dataset
+    import numpy as np
+
+    perm = np.random.default_rng(seed).permutation(len(dataset))
+    return Subset(dataset, [int(i) for i in perm[:max_samples]])
+
+
 def get_datasets(args: TrainArgs):
     """Dataset composition (train.py:109-148)."""
     train_set: list = []
@@ -99,19 +125,18 @@ def get_datasets(args: TrainArgs):
             reps = 1
         train_set = ConcatDataset([train_set] * reps + [extra_train])
         if args.dset.wav2_valid:
-            valid_set = ConcatDataset([valid_set, extra_valid])
+            if weight is not None:
+                # the reference keeps only a weighted random subset of the
+                # extra valid set (train.py:136-142), so wav2 can't dominate
+                # validation/best-model selection
+                b = len(valid_set)
+                n_kept = int(round(weight * b / (1 - weight)))
+                valid_set = ConcatDataset(
+                    [valid_set, random_subset(extra_valid, n_kept)])
+            else:
+                valid_set = ConcatDataset([valid_set, extra_valid])
     if args.dset.valid_samples is not None:
-        import numpy as np
-
-        n = min(args.dset.valid_samples, len(valid_set))
-        idx = np.random.default_rng(42).permutation(len(valid_set))[:n]
-        base = valid_set
-        valid_set = [base[int(i)] for i in idx]  # materialized subset
-
-        class _ListSet(list):
-            pass
-
-        valid_set = _ListSet(valid_set)
+        valid_set = random_subset(valid_set, args.dset.valid_samples)
     assert len(train_set)
     assert len(valid_set)
     return train_set, valid_set
@@ -176,8 +201,14 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     argv = sys.argv[1:] if argv is None else argv
+    bad = [a for a in argv if "=" not in a]
+    if bad:
+        # Dora/Hydra reject unknown arguments; silently ignoring a typo'd
+        # token would train the default config under the default signature.
+        raise SystemExit(
+            f"arguments must be key=value overrides, got: {bad}")
     args = TrainArgs()
-    overrides = expand_presets(parse_cli_overrides([a for a in argv if "=" in a]))
+    overrides = expand_presets(parse_cli_overrides(argv))
     apply_overrides(args, overrides)
     sig = xp_signature(args)
     logger.info("XP signature: %s", sig)

@@ -77,6 +77,10 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        # Goldens are CPU references (the suite computes on CPU): without
+        # this pin, a machine with an accelerator plugin would silently
+        # regen them on-device (fp32-on-MXU differs at the 1e-4 level).
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
         GOLDEN_DIR.mkdir(exist_ok=True)
         for name in ("htdemucs", "hdemucs", "demucs"):
             out = _compute(name)
