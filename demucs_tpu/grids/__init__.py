@@ -22,19 +22,27 @@ def _merged(*dicts: dict) -> dict:
     return out
 
 
+# The htdemucs training base (grids/mmi.py's launcher.bind_), shared by
+# mmi and the mmi_ft continuations (the reference rebinds each base XP's
+# full argv via get_xp_from_sig before fine-tuning).
+_MMI_BASE = {
+    "dset": "extra_mmi_goodclean",
+    "test.shifts": 0,
+    "model": "htdemucs",
+    "model_args": {"dconv_mode": 3, "depth": 4, "t_dropout": 0.02,
+                   "t_layers": 5},
+    "max_batches": 800,
+    "ema.epoch": (0.9, 0.95),
+    "ema.batch": (0.9995, 0.9999),
+    "dset.segment": 10,
+    "batch_size": 32,
+}
+
+
 def mmi() -> Grid:
     """htdemucs training grid (grids/mmi.py): the recipe that produced the
     released hybrid-transformer models."""
-    base = {
-        "test.shifts": 0,
-        "model": "htdemucs",
-        "model_args": {"dconv_mode": 3, "depth": 4, "t_dropout": 0.02, "t_layers": 5},
-        "max_batches": 800,
-        "ema.epoch": (0.9, 0.95),
-        "ema.batch": (0.9995, 0.9999),
-        "dset.segment": 10,
-        "batch_size": 32,
-    }
+    base = dict(_MMI_BASE)
     grid: Grid = []
     for t_layers in (5, 7):
         for bottom_channels in (0, 512):
@@ -42,29 +50,44 @@ def mmi() -> Grid:
             args["model_args"] = _merged(
                 base["model_args"], {"t_layers": t_layers, "bottom_channels": bottom_channels})
             grid.append(args)
-    # hdemucs baselines from the same grid
-    grid.append(_merged(base, {"model": "hdemucs", "model_args": {}}))
+    # hdemucs baselines from the same grid (mmi.py:31-33)
+    for dset in ("extra_mmi_goodclean", "extra44", "musdb44"):
+        grid.append(_merged(base, {"model": "hdemucs", "model_args": {},
+                                   "dset": dset}))
+    # the paper's sparse-attention variant (mmi.py:35-43; 9.20 dB claim)
+    grid.append(_merged(base, {
+        "batch_size": 24,
+        "augment.remix.group_size": 3,
+        "model_args": _merged(base["model_args"], {
+            "t_auto_sparsity": True, "t_sparse_self_attn": True,
+            "t_sparse_cross_attn": True, "t_sparsity": 0.9, "t_layers": 7}),
+    }))
     return grid
 
 
 def mmi_ft() -> Grid:
     """Per-source fine-tuning grid (grids/mmi_ft.py) — the htdemucs_ft recipe:
     one model per source with weights [0,..,1,..,0], lower lr, adamw+wd,
-    grad clip, 50 epochs."""
-    ft = {
+    grad clip, 50 epochs. The reference rebinds the base XP's full argv
+    (get_xp_from_sig) before fine-tuning; here the mmi base config is merged
+    in explicitly and the released weights come from the zoo
+    (continue_pretrained)."""
+    ft = _merged(_MMI_BASE, {
         "optim.lr": 1e-4,
         "augment.remix.proba": 0,
         "augment.scale.proba": 0,
         "augment.shift_same": True,
-        "model_args": {"t_weight_decay": 0.05},
+        "model_args": _merged(_MMI_BASE["model_args"],
+                              {"t_weight_decay": 0.05}),
         "batch_size": 8,
         "optim.clip_grad": 5,
         "optim.optim": "adamw",
         "epochs": 50,
+        "dset.wav2_valid": True,
         "ema.epoch": (),
         "continue_pretrained": "955717e8",
         "continue_best": True,
-    }
+    })
     grid: Grid = []
     for segment in (10, 15):
         for source in range(4):
@@ -75,17 +98,25 @@ def mmi_ft() -> Grid:
 
 
 def repro() -> Grid:
-    """Hybrid Demucs v3 paper reproduction (grids/repro.py): time-only,
-    hybrid, and hybrid+CaC variants at 600 epochs."""
-    base = {"ema.epoch": (0.9995,), "ema.batch": (0.9995,), "epochs": 600}
-    demucs_base = _merged(base, {"model": "demucs", "model_args": {"dconv_mode": 3}})
-    hdemucs_base = _merged(base, {"model": "hdemucs", "model_args": {}})
-    return [
-        demucs_base,
-        _merged(hdemucs_base, {"model_args": {"cac": False, "wiener_iters": 0,
-                                              "end_iters": 0}}),
-        hdemucs_base,  # CaC
-    ]
+    """Hybrid Demucs v3 paper reproduction (grids/repro.py): the v2
+    baseline (360 epochs), and the 'newt' time-only + hybrid variants with
+    the svd/base2 preset, each at seeds 42/43 (the repro_mdx_a bag)."""
+    base = {"ema.epoch": (0.9, 0.95), "ema.batch": (0.9995, 0.9999),
+            "epochs": 600}
+    # conf/svd/base2.yaml + the grid's penalty binding (repro.py:27)
+    svd = {"svd.penalty": 1e-5, "svd.min_size": 1, "svd.dim": 100,
+           "svd.niters": 4, "optim.beta2": 0.9998}
+    v2 = _merged(base, {"model": "demucs", "epochs": 360,
+                        "model_args": {"dconv_mode": 0, "gelu": False,
+                                       "lstm_layers": 2, "normalize": False}})
+    newt = _merged(base, {"model": "demucs",
+                          "model_args": {"normalize": True}})
+    hdem = _merged(base, {"model": "hdemucs", "model_args": {}})
+    grid: Grid = [v2]
+    for variant in (newt, hdem):
+        grid.append(_merged(variant, svd))
+        grid.append(_merged(variant, svd, {"seed": 43}))
+    return grid
 
 
 def mdx() -> Grid:
@@ -138,11 +169,19 @@ def mdx_extra() -> Grid:
     return grid
 
 
-def mdx_refine(mdx_sigs: tp.Sequence[str] = ("<MDX_SIG_1>", "<MDX_SIG_2>",
-                                             "<MDX_SIG_3>", "<MDX_SIG_4>")) -> Grid:
+def mdx_refine(
+    mdx_sigs: tp.Sequence[str] = ("<MDX_SIG_1>", "<MDX_SIG_2>",
+                                  "<MDX_SIG_3>", "<MDX_SIG_4>"),
+    mdx_q_sigs: tp.Optional[tp.Mapping[str, tp.Sequence[str]]] = None,
+) -> Grid:
     """MDX fine-tuning round (grids/mdx_refine.py): each completed ``mdx``
-    XP is continued on the automix set, plus DiffQ-quantized continuations
-    (requires the base quantized XPs complete, as the reference asserts)."""
+    XP is continued on the automix set, plus DiffQ-quantized continuations.
+
+    The quantized continuations must warm-start from the DIFFQ-TRAINED base
+    XPs (the reference resolves ``base_argv + quant.diffq`` and asserts that
+    XP completed — mdx_refine.py:25-33), not the unquantized base: pass
+    ``mdx_q_sigs`` as ``{base_sig: (sig_diffq1e4, sig_diffq3e4)}``; entries
+    default to ``<SIG>-q{diffq}`` placeholders to fill in."""
     refine = {
         "dset": "auto_mus",
         "continue_best": True,
@@ -158,8 +197,10 @@ def mdx_refine(mdx_sigs: tp.Sequence[str] = ("<MDX_SIG_1>", "<MDX_SIG_2>",
     grid: Grid = []
     for sig in mdx_sigs:
         grid.append(_merged(refine, {"continue_from": sig}))
-        for diffq in (1e-4, 3e-4):
-            grid.append(_merged(refine, {"continue_from": sig,
+        for i, diffq in enumerate((1e-4, 3e-4)):
+            q_sig = (mdx_q_sigs or {}).get(sig, (f"<{sig}-q1e-4>",
+                                                 f"<{sig}-q3e-4>"))[i]
+            grid.append(_merged(refine, {"continue_from": q_sig,
                                          "quant.diffq": diffq}))
     return grid
 
@@ -351,5 +392,9 @@ def _yaml_value(value) -> str:
     if isinstance(value, tuple):
         value = list(value)
     if isinstance(value, (dict, list, bool)) or value is None:
+        return json.dumps(value)
+    if isinstance(value, str):
+        # quoted: a released signature like "955717e8" would otherwise
+        # round-trip through the CLI's exponent coercion into 9.55717e13
         return json.dumps(value)
     return str(value)

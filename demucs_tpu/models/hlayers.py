@@ -180,6 +180,9 @@ def build_hybrid_layout(
                 lstm=lstm,
                 attn=attn,
                 gelu=True,
+                # reference DConv: negative depth disables dilation
+                # (demucs.py:100-104, dilate = depth > 0)
+                dilate=dconv_depth > 0,
             )
 
         pad_amt = ker // 4 if pad else 0

@@ -115,9 +115,13 @@ def _framed_energy(x: np.ndarray, win: int, hop: int) -> np.ndarray:
 
 
 def _db(num: np.ndarray, den: np.ndarray) -> np.ndarray:
-    """10log10(num/den); NaN where the numerator frame is silent."""
-    out = 10.0 * np.log10((num + _EPS) / (den + _EPS))
-    return np.where(num <= 1e3 * _EPS, np.nan, out)
+    """10log10(num/den) with museval's silent-frame semantics: 0/x -> -inf,
+    x/0 -> +inf, 0/0 -> nan (museval divides under errstate and nanmedian
+    keeps the infs in the aggregation) — so the native path and an
+    installed museval report identical medians for the same track."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return 10.0 * np.log10(np.asarray(num, np.float64)
+                               / np.asarray(den, np.float64))
 
 
 def bss_eval_images(references: np.ndarray, estimates: np.ndarray,

@@ -218,10 +218,13 @@ def parse_cli_overrides(tokens: tp.Sequence[str]) -> tp.Dict[str, tp.Any]:
         if "=" not in token:
             raise ValueError(f"Override {token!r} must be key=value")
         key, value = token.split("=", 1)
+        quoted = len(value) >= 2 and value[0] in "\"'" and value[-1] == value[0]
         parsed = yaml.safe_load(value) if value != "" else None
-        # YAML 1.1 keeps "1e-4" a string (no mantissa dot); treat it as float.
-        if isinstance(parsed, str) and re.fullmatch(
-                r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", parsed):
+        # YAML 1.1 keeps "1e-4" a string (no mantissa dot); treat it as
+        # float — but never for explicitly quoted values: a released
+        # signature like continue_from="955717e8" must stay a string.
+        if (not quoted and isinstance(parsed, str) and re.fullmatch(
+                r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", parsed)):
             parsed = float(parsed)
         out[key] = parsed
     return out

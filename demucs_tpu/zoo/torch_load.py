@@ -84,7 +84,16 @@ def config_from_torch_kwargs(klass_name: str, args: tuple, kwargs: dict):
     fields = {f.name for f in dataclasses.fields(cls)}
     kw = dict(kwargs)
     if args:
-        kw["sources"] = args[0]
+        # capture_init stores positional ctor args in order; every model
+        # family's signature starts (sources, audio_channels, channels, ...)
+        # — map what we know, refuse to silently drop the rest
+        positional = ("sources", "audio_channels", "channels")
+        if len(args) > len(positional):
+            raise ValueError(
+                f"checkpoint has {len(args)} positional init args; only "
+                f"{positional} are mapped — extend the mapping")
+        for name, value in zip(positional, args):
+            kw[name] = value
     clean = {}
     for key, value in kw.items():
         if key not in fields:

@@ -108,12 +108,18 @@ def test_additive_noise_sets_sar_near_snr():
     assert abs(np.nanmedian(sdr[0]) - snr_db) < 2.0
 
 
-def test_silent_reference_frames_are_nan():
-    refs = _sources()
-    refs[0, :, :SR] = 0.0  # source 0 silent in frame 0
-    sdr, _isr, _sir, _sar = bss_eval_images(_layout(refs), _layout(refs),
-                                            window=SR, hop=SR, flen=FLEN)
-    assert np.isnan(sdr[0, 0]) and not np.isnan(sdr[0, 1])
+def test_db_matches_museval_silent_frame_semantics():
+    """museval divides framed energies under errstate: 0/x -> -inf,
+    x/0 -> +inf, 0/0 -> nan (its nanmedian aggregation keeps the infs);
+    the native path must not special-case silence differently or the two
+    eval_track code paths report different medians."""
+    from demucs_tpu.ops.bsseval import _db
+
+    out = _db(np.array([0.0, 1.0, 0.0, 4.0]), np.array([1.0, 0.0, 0.0, 2.0]))
+    assert out[0] == -np.inf
+    assert out[1] == np.inf
+    assert np.isnan(out[2])
+    np.testing.assert_allclose(out[3], 10 * np.log10(2.0))
 
 
 def test_eval_track_uses_native_fallback():

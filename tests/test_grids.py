@@ -33,6 +33,31 @@ def test_grid_counts_match_reference_recipes():
     assert len(grids.resolve("mdx_refine")) == 12
 
 
+def test_signature_strings_survive_cli_roundtrip():
+    """A released sig like 955717e8 matches the CLI's exponent-float regex:
+    the grid launcher must quote strings and the parser must respect the
+    quoting, or continue_pretrained turns into the float 9.55717e13."""
+    from demucs_tpu.grids import _yaml_value
+    from demucs_tpu.train.config import parse_cli_overrides
+
+    token = f"continue_pretrained={_yaml_value('955717e8')}"
+    parsed = parse_cli_overrides([token])
+    assert parsed["continue_pretrained"] == "955717e8"
+    # unquoted scientific notation still coerces (YAML 1.1 keeps it a str)
+    assert parse_cli_overrides(["optim.lr=1e-4"])["optim.lr"] == 1e-4
+
+
+def test_mmi_ft_rebinds_base_model_args():
+    """The fine-tune entries must carry the base XP's model args (the
+    reference rebinds the full argv via get_xp_from_sig): fine-tuning
+    955717e8 weights into a default-config model silently disables the
+    decoder DConv branches."""
+    for entry in grids.resolve("mmi_ft"):
+        assert entry["model_args"]["dconv_mode"] == 3
+        assert entry["model_args"]["t_layers"] == 5
+        assert entry["dset.wav2_valid"] is True
+
+
 def test_dset_presets_all_resolve():
     for name in DSET_PRESETS:
         overrides = expand_presets({"dset": name})
