@@ -74,6 +74,12 @@ def test_per_request_overrides_do_not_leak(service, tmp_path):
     sep = service.separator
     sr = sep.samplerate
     wav = random_mix((2, int(1.1 * sr)), seed=13, scale=0.05)
+    def _stems(blob):
+        # compare decoded payloads, not raw zip bytes (zip entries embed
+        # per-second mtimes, so byte comparison is wall-clock-flaky)
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            return {n: zf.read(n)[44:] for n in sorted(zf.namelist())}
+
     blob_default = service.separate_bytes(_wav_bytes(wav, sr, tmp_path),
                                           float32=True, clip="none")
     before = (sep._shifts, sep._overlap)
@@ -82,7 +88,7 @@ def test_per_request_overrides_do_not_leak(service, tmp_path):
     assert (sep._shifts, sep._overlap) == before
     blob_after = service.separate_bytes(_wav_bytes(wav, sr, tmp_path),
                                         float32=True, clip="none")
-    assert blob_after == blob_default
+    assert _stems(blob_after) == _stems(blob_default)
 
 
 def test_service_two_stems_and_validation(service, tmp_path):
