@@ -83,8 +83,13 @@ def _install_stubs():
 
     _stub("omegaconf", OmegaConf=_OmegaConf)
     _stub("dora")
-    _stub("dora.log", fatal=_unavailable)
+    _stub("dora.log", fatal=_unavailable, bold=str)
     sys.modules["dora"].log = sys.modules["dora.log"]
+    # demucs.audio / demucs.api import these at module level; only the
+    # WAV-writer (torchaudio.save) and mp3 encoder would call into them,
+    # which the parity tests never do.
+    _stub("lameenc")
+    _stub("torchaudio", load=_unavailable, save=_unavailable)
 
 
 def import_reference():
