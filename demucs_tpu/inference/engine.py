@@ -33,7 +33,7 @@ import numpy as np
 
 from demucs_tpu.models.registry import BagOfModels, Model
 
-__all__ = ["device_apply_model", "device_separate_tracks"]
+__all__ = ["device_apply_model", "device_separate_tracks", "stage_track"]
 
 
 # Single source of truth for the reference triangle window (apply.py:271-276
@@ -139,21 +139,56 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
             0.0,
         )  # (n_pad, target)
 
-        out_buf = jnp.zeros((n_sources, audio_channels, buf_len), jnp.float32)
-        wsum_buf = jnp.zeros((buf_len,), jnp.float32)
+        # Parallel overlap-add (replaces a serial fori_loop scatter; matches
+        # the reference hot loop apply.py:257-301 numerically). Two steps:
+        #
+        # 1. Roll each segment's weighted contribution LEFT by its center-trim
+        #    so every window lands at the UNIFORM position base + i*stride
+        #    (tail segments' trim otherwise shifts their window start). The
+        #    roll's wrapped entries are exactly the wvec-masked (rel < 0)
+        #    zeros, so a plain modular gather is lossless.
+        # 2. Group segments by i mod K with K = ceil(target/stride): within a
+        #    group, windows are P = K*stride >= target apart, hence DISJOINT —
+        #    a group flattens to one contiguous strip added with a single
+        #    dynamic_update_slice. K strip-adds total (K=2 at the default
+        #    overlap 0.25) instead of n_segments serial scatter iterations.
+        #
+        # Summation order: each output sample receives one term per covering
+        # group. At overlap <= 0.5 (<= 2 covering segments) the result is
+        # bit-identical to the sequential scatter (two-term float sums are
+        # commutative); at higher overlaps group-order association differs
+        # from segment-order by ~1 ulp.
+        contrib = outs * wvec[:, None, None, :]  # (n_pad, S, C, target)
+        roll_idx = (jnp.arange(target, dtype=jnp.int32)[None, :]
+                    + trim[:, None]) % target
+        contrib = jnp.take_along_axis(
+            contrib, jnp.broadcast_to(roll_idx[:, None, None, :], contrib.shape),
+            axis=-1)
+        wroll = jnp.take_along_axis(wvec, roll_idx, axis=1)
 
-        def body(i, carry):
-            out_buf, wsum_buf = carry
-            s = start_buf[i]
-            piece = jax.lax.dynamic_slice(out_buf, (0, 0, s),
-                                          (n_sources, audio_channels, target))
-            piece = piece + wvec[i][None, None, :] * outs[i]
-            out_buf = jax.lax.dynamic_update_slice(out_buf, piece, (0, 0, s))
-            wpiece = jax.lax.dynamic_slice(wsum_buf, (s,), (target,)) + wvec[i]
-            wsum_buf = jax.lax.dynamic_update_slice(wsum_buf, wpiece, (s,))
-            return out_buf, wsum_buf
+        K = -(-target // stride)
+        P = K * stride
+        ng = -(-n_pad // K)
+        contrib = jnp.pad(contrib, [(0, ng * K - n_pad), (0, 0), (0, 0),
+                                    (0, P - target)])
+        wroll = jnp.pad(wroll, [(0, ng * K - n_pad), (0, P - target)])
 
-        out_buf, wsum_buf = jax.lax.fori_loop(0, n_pad, body, (out_buf, wsum_buf))
+        obuf_len = margin + max_shift + (K - 1) * stride + ng * P
+        base = margin + shift_offset
+        out_buf = jnp.zeros((n_sources, audio_channels, obuf_len), jnp.float32)
+        wsum_buf = jnp.zeros((obuf_len,), jnp.float32)
+        for g in range(K):
+            start = base + g * stride
+            strip = (contrib[g::K].transpose(1, 2, 0, 3)
+                     .reshape(n_sources, audio_channels, ng * P))
+            cur = jax.lax.dynamic_slice(
+                out_buf, (0, 0, start), (n_sources, audio_channels, ng * P))
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, cur + strip, (0, 0, start))
+            wstrip = wroll[g::K].reshape(ng * P)
+            wcur = jax.lax.dynamic_slice(wsum_buf, (start,), (ng * P,))
+            wsum_buf = jax.lax.dynamic_update_slice(
+                wsum_buf, wcur + wstrip, (start,))
 
         # The original track span sits at padded coords [max_shift,
         # max_shift+length). Divide by the TRUE weight sum: every in-track
@@ -287,15 +322,48 @@ _INT8_BLOCK = 1024
 
 
 @functools.lru_cache(maxsize=16)
-def _prep_fn(C: int, L: int, margin: int, max_shift: int):
+def _prep_fn(C: int, L: int, margin: int, max_shift: int,
+             chunk_lens: tp.Tuple[int, ...] = ()):
     """Pad the raw uploaded track into the engine buffer on device (the
-    zero margins never cross the host link)."""
+    zero margins never cross the host link). The track arrives as
+    ``chunk_lens`` time-slices (threaded chunked upload) concatenated here."""
 
-    def prep(mix):
-        mix = mix.astype(jnp.float32)
+    def prep(*chunks):
+        mix = (chunks[0] if len(chunks) == 1
+               else jnp.concatenate(chunks, axis=-1)).astype(jnp.float32)
         return jnp.pad(mix, [(0, 0), (margin + max_shift, max_shift + margin)])
 
     return jax.jit(prep)
+
+
+_UPLOAD_CHUNK_BYTES = 3 * 2**20
+
+
+def _upload_track(wire: np.ndarray, C: int, L: int, margin: int,
+                  max_shift: int, sharding=None):
+    """Upload ``wire (C, L)`` and pad it into the engine buffer on device.
+
+    The relay's host->device path is latency-dominated per transfer and the
+    latency PARALLELIZES: 4-way threaded ~3 MB chunks sustain ~30 MB/s where
+    one 10 MB ``device_put`` gets ~3 MB/s (tools/probe_h2d.py). Chunks are
+    re-concatenated by the (jitted) prep program, so results are bit-identical
+    to a single upload."""
+    n = max(1, min(8, -(-wire.nbytes // _UPLOAD_CHUNK_BYTES)))
+    step = -(-L // n)
+    parts = [np.ascontiguousarray(wire[..., i * step:(i + 1) * step])
+             for i in range(n)]
+    parts = [p for p in parts if p.shape[-1]]
+    put = (jax.device_put if sharding is None
+           else functools.partial(jax.device_put, device=sharding))
+    if len(parts) == 1:
+        devs = [put(parts[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(4, len(parts))) as ex:
+            devs = list(ex.map(put, parts))
+    prep = _prep_fn(C, L, margin, max_shift, tuple(p.shape[-1] for p in parts))
+    return prep(*devs)
 
 
 def device_apply_model(
@@ -314,6 +382,43 @@ def device_apply_model(
     """
     pending = _dispatch_track(model, mix, transfer_dtype=transfer_dtype, **kw)
     return _gather_stems(*pending)
+
+
+def stage_track(
+    model: tp.Union[Model, BagOfModels],
+    mix: np.ndarray,
+    *,
+    shifts: int = 1,
+    segment: tp.Optional[float] = None,
+    input_transfer_dtype: tp.Optional[str] = None,
+) -> dict:
+    """Pre-upload a track's padded engine buffer(s) to the device.
+
+    Pass the result as ``device_apply_model(..., prestaged=...)`` to take the
+    input upload off the dispatch path — for device-resident audio sources
+    (on-device evaluation, synthesized input) and for isolating engine time
+    from the host link in benchmarks. The staging arguments (``shifts``,
+    ``segment``, ``input_transfer_dtype``) must match the apply call's."""
+    models = model.models if isinstance(model, BagOfModels) else [model]
+    first = models[0]
+    assert mix.ndim == 3 and mix.shape[0] == 1, mix.shape
+    sr = first.samplerate
+    C = first.audio_channels
+    L = mix.shape[-1]
+    max_shift = int(0.5 * sr) if shifts else 0
+    out: dict = {}
+    for m in models:
+        seg_f = segment if segment is not None else m.segment
+        seg_len = int(sr * seg_f)
+        target = m.leaf_target(seg_len, segment)
+        key = (seg_len, target)
+        if key in out:
+            continue
+        wire = mix[0]
+        if input_transfer_dtype == "float16":
+            wire = wire.astype(np.float16)
+        out[key] = _upload_track(wire, C, L, target, max_shift)
+    return out
 
 
 def device_separate_tracks(
@@ -358,6 +463,7 @@ def _dispatch_track(
     progress: bool = False,
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
     length_bucket_seconds: tp.Optional[float] = None,
+    prestaged: tp.Optional[dict] = None,
 ):
     """Upload + dispatch all device work for one track (asynchronously),
     including the final normalize/wire-format program; returns the pending
@@ -410,6 +516,10 @@ def _dispatch_track(
         and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
         and mesh.devices.size % len(models) == 0
     )
+    if prestaged and (fan_out or length_bucket_seconds):
+        raise ValueError(
+            "prestaged buffers are keyed on exact track length/segment; "
+            "incompatible with length bucketing and bag fan-out")
     if fan_out:
         if progress:
             # All bag members run concurrently in one dispatch — there is no
@@ -427,7 +537,7 @@ def _dispatch_track(
                                orig_length)
 
     accum = None
-    track_dev = {}
+    track_dev = dict(prestaged) if prestaged else {}
 
     iterator = list(zip(models, weights))
     if progress:
@@ -447,7 +557,7 @@ def _dispatch_track(
             wire = mix[0]
             if input_transfer_dtype == "float16":
                 wire = wire.astype(np.float16)
-            track_dev[key] = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire))
+            track_dev[key] = _upload_track(wire, C, L, margin, max_shift)
 
         if mesh is not None:
             # segment grid must divide evenly across devices
@@ -547,7 +657,7 @@ def _bag_fanout_passes(models, weights, mix, mesh, *, shifts, overlap,
     wire = mix[0]
     if input_transfer_dtype == "float16":
         wire = wire.astype(np.float16)
-    track_buf = _prep_fn(C, L, margin, max_shift)(jax.device_put(wire, repl))
+    track_buf = _upload_track(wire, C, L, margin, max_shift, sharding=repl)
 
     # Stacking pulls every member's params to host and re-uploads the stack
     # (~4x model size over this deployment's 20-40 MB/s relay): cache the

@@ -264,3 +264,35 @@ def test_int8_transfer_close(model):
     err = exact - i8
     snr = 10 * np.log10(float((exact**2).mean()) / float((err**2).mean() + 1e-30))
     assert snr > 40, snr
+
+
+def test_prestaged_track_parity(model):
+    """stage_track + prestaged (device-resident input, no upload on the
+    dispatch path) is bit-identical to the normal engine call, including a
+    high-overlap case (the grouped parallel overlap-add with >2 covering
+    segments per sample)."""
+    from demucs_tpu.inference.engine import stage_track
+
+    L = int(1.7 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=55)
+    for overlap in (0.25, 0.6):
+        want = device_apply_model(model, mix, shifts=0, overlap=overlap,
+                                  transfer_dtype=None, input_transfer_dtype=None)
+        staged = stage_track(model, mix, shifts=0)
+        got = device_apply_model(model, mix, shifts=0, overlap=overlap,
+                                 transfer_dtype=None, input_transfer_dtype=None,
+                                 prestaged=staged)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_high_overlap_vs_host(model):
+    """overlap > 0.5 (>2 covering segments/sample) against the host engine:
+    the grouped overlap-add changes float association group-wise, so parity
+    is ulp-level rather than bit-exact."""
+    L = int(1.9 * model.segment * model.samplerate)
+    mix = random_mix((1, 2, L), seed=56)
+    want = apply_model(model, mix, shifts=0, split=True, overlap=0.6,
+                       engine="host")
+    got = device_apply_model(model, mix, shifts=0, overlap=0.6,
+                             transfer_dtype=None, input_transfer_dtype=None)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
