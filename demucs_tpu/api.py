@@ -49,6 +49,25 @@ def _resolve_device(device: str):
         ) from err
 
 
+def _cast_compute_dtype(model, dtype: str):
+    """Re-config a loaded model (or bag) to run its forward in ``dtype``
+    (e.g. "bfloat16" for the fast preset). Families without a
+    ``compute_dtype`` knob are left at float32."""
+    import dataclasses
+
+    from demucs_tpu.models.registry import BagOfModels, Model
+
+    def one(m):
+        if hasattr(m.cfg, "compute_dtype") and m.cfg.compute_dtype != dtype:
+            return Model(m.kind, dataclasses.replace(m.cfg, compute_dtype=dtype),
+                         m.params)
+        return m
+
+    if isinstance(model, BagOfModels):
+        return BagOfModels([one(m) for m in model.models], model.weights)
+    return one(model)
+
+
 def _device_scope(jax_device):
     if jax_device is None:
         import contextlib
@@ -77,6 +96,7 @@ class Separator:
         engine: str = "auto",
         transfer_dtype: tp.Optional[str] = None,
         length_bucket_seconds: tp.Optional[float] = None,
+        compute_dtype: tp.Optional[str] = None,
     ):
         """Load a model by name and hold separation parameters.
 
@@ -91,6 +111,7 @@ class Separator:
         """
         self._name = model
         self._repo = repo
+        self._compute_dtype = compute_dtype
         self._load_model()
         self.update_parameter(
             device=device, shifts=shifts, overlap=overlap, split=split,
@@ -149,6 +170,8 @@ class Separator:
         self._model = get_model(name=self._name, repo=self._repo)
         if self._model is None:
             raise LoadModelError("Failed to load model")
+        if getattr(self, "_compute_dtype", None):
+            self._model = _cast_compute_dtype(self._model, self._compute_dtype)
         self._audio_channels = self._model.audio_channels
         self._samplerate = self._model.samplerate
 

@@ -142,3 +142,49 @@ def test_separator_api_surface(track):
     assert origin.shape == wav.shape
     for v in stems.values():
         assert v.shape == wav.shape
+
+
+def test_cli_fast_preset(track, tmp_path, capsys):
+    """--preset fast runs end-to-end, prints its quality contract, and still
+    writes all stems (on CPU the host engine keeps bit-exact wires; the
+    preset's int8 wire + bf16 compute apply on accelerator backends)."""
+    path, wav, sr = track
+    out = tmp_path / "sep"
+    _run_cli([path, "-n", "demucs_unittest", "-o", out, "--shifts", "0",
+              "--preset", "fast"])
+    assert "preset fast" in capsys.readouterr().out
+    stems_dir = out / "demucs_unittest" / "test"
+    assert sorted(p.name for p in stems_dir.iterdir()) == [
+        "bass.wav", "drums.wav", "other.wav", "vocals.wav"]
+
+
+def test_fast_preset_casts_htdemucs_compute(monkeypatch):
+    """Separator(compute_dtype=...) re-configs the loaded model's forward
+    dtype; the bf16 output stays within the documented preview-grade band of
+    the fp32 path."""
+    import numpy as np
+
+    from common import make_htdemucs_pair
+    from demucs_tpu import api
+    from demucs_tpu.models.registry import Model
+
+    _, cfg, params = make_htdemucs_pair()
+    model = Model("htdemucs", cfg, params)
+    monkeypatch.setattr(api, "get_model", lambda name, repo=None: model)
+
+    sep32 = api.Separator(model="tiny", device="cpu", shifts=0)
+    sep16 = api.Separator(model="tiny", device="cpu", shifts=0,
+                          compute_dtype="bfloat16")
+    assert sep16._model.cfg.compute_dtype == "bfloat16"
+    assert sep32._model.cfg.compute_dtype == "float32"
+
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal((2, int(1.1 * cfg.samplerate * cfg.segment)))
+           * 0.1).astype(np.float32)
+    _, stems32 = sep32.separate_tensor(wav.copy())
+    _, stems16 = sep16.separate_tensor(wav.copy())
+    for name in stems32:
+        sig = float(np.mean(stems32[name] ** 2))
+        err = float(np.mean((stems16[name] - stems32[name]) ** 2))
+        snr = 10 * np.log10(sig / max(err, 1e-20))
+        assert snr > 25, (name, snr)
