@@ -303,9 +303,74 @@ def _run_subprocess(overrides: tp.Mapping[str, tp.Any]) -> int:
     return subprocess.run(cmd).returncode
 
 
+#: Slurm directive defaults for ``--sbatch`` (the reference submits grids via
+#: dora/submitit with conf/config.yaml:294-297 ``slurm: time: 4320 ...``;
+#: hardware-specific keys like its volta32gb constraint have no TPU analog
+#: and are injected per-site with ``slurm.key=value`` tokens instead).
+SBATCH_DEFAULTS: tp.Dict[str, tp.Any] = {
+    "time": 4320,              # minutes (reference default)
+    "nodes": 1,
+    "ntasks-per-node": 1,      # one process per host; chips via jax.devices()
+    "cpus-per-task": 8,
+}
+
+
+def emit_sbatch(name: str, grid: Grid, directory, slurm: tp.Mapping[str, tp.Any],
+                base_overrides_tokens: tp.Sequence[str] = ()) -> list:
+    """Write one sbatch submission script per grid entry into ``directory``
+    and return the script paths.
+
+    Fills the reference's grid-submission role (dora/submitit sweeps,
+    /root/reference/conf/config.yaml:294-297, docs/training.md:45-83): each
+    script is ``sbatch``-able as-is; at runtime ``train.distrib.init``
+    auto-detects the Slurm allocation (SLURM_PROCID/NTASKS) and initializes
+    ``jax.distributed`` across the allocated hosts."""
+    import shlex
+    import stat
+    from pathlib import Path
+
+    from demucs_tpu.train.config import TrainArgs, apply_overrides, xp_signature
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    directives = dict(SBATCH_DEFAULTS)
+    directives.update(slurm)
+    paths = []
+    for i, overrides in enumerate(grid):
+        args = apply_overrides(TrainArgs(), dict(overrides))
+        sig = xp_signature(args)
+        tokens = [f"{k}={_yaml_value(v)}" for k, v in overrides.items()]
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name=demucs_{name}_{sig}",
+            f"#SBATCH --output={directory}/%x_%j.out",
+        ]
+        for key, value in directives.items():
+            if value is None:
+                continue
+            lines.append(f"#SBATCH --{key}={value}")
+        lines += [
+            "",
+            "set -e",
+            # srun fans the command out to every allocated task; distrib.init
+            # reads SLURM_* to join them into one jax.distributed job.
+            "srun python -m demucs_tpu.train \\",
+            "    " + " \\\n    ".join(shlex.quote(t) for t in tokens),
+            "",
+        ]
+        path = directory / f"{name}_{i:02d}_{sig}.sbatch"
+        path.write_text("\n".join(lines))
+        path.chmod(path.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP)
+        paths.append(path)
+    return paths
+
+
 def main(argv=None, runner=_run_subprocess) -> None:
     """``python -m demucs_tpu.grids NAME [--run N|all] [--jobs J] [--status]
-    [key=value ...]`` — the local launcher/monitor analog of ``dora grid``.
+    [--sbatch DIR] [key=value ...]`` — the local launcher/monitor analog of
+    ``dora grid``; ``--sbatch`` emits Slurm submission scripts instead of
+    running locally (``slurm.key=value`` tokens set/override #SBATCH
+    directives, e.g. ``slurm.partition=tpu slurm.nodes=4``).
 
     Without flags: print every entry's XP signature and overrides (the
     ``dora grid NAME --dry_run`` analog). ``--run N``: execute entry N via
@@ -341,8 +406,24 @@ def main(argv=None, runner=_run_subprocess) -> None:
         at = rest.index("--run")
         run_index = rest[at + 1]
         rest = rest[:at] + rest[at + 2:]
+    sbatch_dir = None
+    if "--sbatch" in rest:
+        at = rest.index("--sbatch")
+        sbatch_dir = rest[at + 1]
+        rest = rest[:at] + rest[at + 2:]
+    slurm = {t.split("=", 1)[0][len("slurm."):]: t.split("=", 1)[1]
+             for t in rest if t.startswith("slurm.")}
+    rest = [t for t in rest if not t.startswith("slurm.")]
     extra = parse_cli_overrides([t for t in rest if "=" in t])
     grid = resolve(name, extra)
+
+    if sbatch_dir is not None:
+        paths = emit_sbatch(name, grid, sbatch_dir, slurm)
+        for p in paths:
+            print(p)
+        print(f"wrote {len(paths)} sbatch scripts; submit with: "
+              f"for f in {sbatch_dir}/{name}_*.sbatch; do sbatch $f; done")
+        return
 
     if status:
         for i, overrides in enumerate(grid):

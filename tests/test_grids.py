@@ -143,3 +143,37 @@ def test_launcher_status(tmp_path, capsys):
     assert "epoch 2/320" in out[0] and "train 0.3000" in out[0] \
         and "best 0.3500" in out[0]
     assert "not started" in out[1]
+
+
+def test_sbatch_emission(tmp_path, capsys):
+    """--sbatch writes one submittable script per XP with the overrides,
+    signature-stamped job name, and slurm.key=value directive overrides
+    (the reference's dora/submitit grid submission role,
+    conf/config.yaml:294-297)."""
+    from demucs_tpu.train.config import parse_cli_overrides
+
+    grids.main(["mmi", "--sbatch", str(tmp_path),
+                "slurm.partition=tpu", "slurm.nodes=4",
+                "dset.musdb=/data/musdbhq"])
+    out = capsys.readouterr().out
+    scripts = sorted(tmp_path.glob("mmi_*.sbatch"))
+    grid = grids.resolve("mmi", parse_cli_overrides(["dset.musdb=/data/musdbhq"]))
+    assert len(scripts) == len(grid)
+    assert "sbatch" in out
+    for i, (path, overrides) in enumerate(zip(scripts, grid)):
+        text = path.read_text()
+        args = apply_overrides(TrainArgs(), dict(overrides))
+        sig = xp_signature(args)
+        assert f"--job-name=demucs_mmi_{sig}" in text
+        assert "#SBATCH --partition=tpu" in text
+        assert "#SBATCH --nodes=4" in text
+        assert f"#SBATCH --time={grids.SBATCH_DEFAULTS['time']}" in text
+        assert "srun python -m demucs_tpu.train" in text
+        assert "dset.musdb" in text
+        assert path.stat().st_mode & 0o100  # executable
+        # every override token round-trips through the train CLI parser
+        import shlex
+        tokens = shlex.split(text.split("srun python -m demucs_tpu.train")[1])
+        parsed = parse_cli_overrides([t for t in tokens if "=" in t])
+        re_args = apply_overrides(TrainArgs(), parsed)
+        assert xp_signature(re_args) == sig
