@@ -65,7 +65,15 @@ def main():
                         help="use the Pallas flash-attention kernel")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="capture a jax.profiler trace of one timed run")
+    parser.add_argument("--preset", choices=["default", "fast"],
+                        default="default",
+                        help="'fast' = the CLI's --preset fast configuration "
+                        "(bfloat16 compute + int8 wire, preview grade "
+                        "~44 dB SNR vs the default path)")
     args = parser.parse_args()
+    if args.preset == "fast":
+        args.dtype = "bfloat16"
+        args.transfer = "int8"
 
     import jax
 
@@ -110,10 +118,20 @@ def main():
     run = run_pipelined if args.tracks > 1 else run_single
 
     # Warmup / compile on the SAME track length (one executable). The
-    # compiled pass/fetch programs are shared by the single-track run.
+    # compiled pass/fetch programs are shared by the single-track and
+    # no-fetch runs. Phase timings are printed so a warmup regression is
+    # attributable to a specific executable load (the relay's first load of
+    # each new executable costs 25-300 s; the XLA compile itself is fast).
+    warm_phases = {}
     t0 = time.time()
-    out = run()
-    warm = time.time() - t0
+    out = run_single()  # loads prep + THE pass executable + final + fetch
+    warm_phases["single_first"] = round(time.time() - t0, 1)
+    if args.tracks > 1:
+        t0 = time.time()
+        out = run_pipelined()  # reuses every executable; no new loads
+        warm_phases["pipelined_first"] = round(time.time() - t0, 1)
+    warm = sum(warm_phases.values())
+    print(f"# warmup phases {warm_phases}", file=sys.stderr, flush=True)
 
     def timed(fn, n):
         times = []
@@ -155,8 +173,9 @@ def main():
     # the engine from the relay's large-transfer weather; the gap between
     # it and the headline is pure wire time.
     no_fetch = None
+    resident = None
     if not args.no_fetchless:
-        from demucs_tpu.inference.engine import _dispatch_track
+        from demucs_tpu.inference.engine import _dispatch_track, stage_track
         from demucs_tpu.parallel.sharded import auto_mesh
         import jax.numpy as jnp
 
@@ -171,17 +190,39 @@ def main():
             return sum(jnp.sum(x[..., ::4096].astype(jnp.float32))
                        for x in leaves)
 
-        def run_no_fetch():
-            result = _dispatch_track(model, mixes[0], rng=random.Random(42),
-                                     **dkw)[0]
+        def _blocked(result):
             leaves = [x for x in jax.tree.leaves(result)
                       if isinstance(x, jax.Array)]
             return float(_sync(*leaves))
+
+        def run_no_fetch():
+            return _blocked(_dispatch_track(model, mixes[0],
+                                            rng=random.Random(42), **dkw)[0])
 
         run_no_fetch()  # compile the tiny sync program
         ftimes = timed(run_no_fetch, max(3, args.repeats - 2))
         no_fetch = round(
             statistics.median(args.seconds / t / n_chips for t in ftimes), 3)
+
+        # Device-resident rate: input pre-staged on device AND stems blocked
+        # on-device — the pure dispatch+compute path, no host link at either
+        # end. no_fetch - device_resident is the input upload; headline -
+        # no_fetch is the stems download (BENCHMARKS.md breakdown).
+        if dkw["mesh"] is None:
+            staged = stage_track(
+                model, mixes[0], shifts=args.shifts,
+                input_transfer_dtype=(None if args.transfer == "float32"
+                                      else "float16"))
+
+            def run_resident():
+                return _blocked(_dispatch_track(
+                    model, mixes[0], rng=random.Random(42),
+                    prestaged=staged, **dkw)[0])
+
+            run_resident()
+            rtimes = timed(run_resident, max(3, args.repeats - 2))
+            resident = round(
+                statistics.median(args.seconds / t / n_chips for t in rtimes), 3)
 
     median = statistics.median(samples)
     print(
@@ -199,10 +240,22 @@ def main():
         "max": max(samples),
         "samples": samples,
     }
+    if args.preset != "default":
+        record["preset"] = args.preset
     if single is not None:
         record["single_track"] = single
     if no_fetch is not None:
         record["no_fetch"] = no_fetch
+    if resident is not None:
+        record["device_resident"] = resident
+    try:  # peak HBM of the whole bench (reference tools/bench.py:26-43 parity)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            record["peak_hbm_gb"] = round(peak / 2**30, 2)
+    except Exception:
+        pass
+    record["warmup_s"] = warm_phases
     print(json.dumps(record))
 
 
