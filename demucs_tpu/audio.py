@@ -268,13 +268,18 @@ def read_audio(path, samplerate: tp.Optional[int] = None,
     path = Path(path)
     if path.suffix.lower() == ".wav" and not ffmpeg_available():
         wav, sr = read_wav(path)
+    elif path.suffix.lower() == ".flac" and not ffmpeg_available():
+        from demucs_tpu.flacio import read_flac
+
+        wav, sr = read_flac(path)
     elif ffmpeg_available():
         af = AudioFile(path)
         wav = af.read(streams=0)
         sr = af.samplerate()
     else:
         raise RuntimeError(
-            f"Cannot read {path}: ffmpeg is not installed and the file is not WAV."
+            f"Cannot read {path}: ffmpeg is not installed and the file is not "
+            "WAV/FLAC."
         )
     if channels is not None:
         wav = convert_audio_channels(wav, channels)
@@ -361,7 +366,11 @@ def save_audio(wav: np.ndarray, path, samplerate: int, bitrate: int = 320,
         write_wav(path, wav, samplerate,
                   bits_per_sample=32 if as_float else bits_per_sample,
                   as_float=as_float)
-    elif suffix in (".mp3", ".flac"):
+    elif suffix == ".flac":
+        from demucs_tpu.flacio import write_flac
+
+        write_flac(path, wav, samplerate, bits_per_sample=bits_per_sample)
+    elif suffix == ".mp3":
         _encode_with_ffmpeg(wav, path, samplerate, suffix, bitrate, bits_per_sample)
     else:
         raise ValueError(f"Invalid suffix for path: {suffix}")

@@ -266,4 +266,41 @@ int prefetch_get(void* handle, int64_t i, float* out) {
 
 void prefetch_destroy(void* handle) { delete (Prefetcher*)handle; }
 
+// FLAC frame CRCs (the codec in demucs_tpu/flacio.py assembles frames with
+// numpy; the byte-sequential CRC is the one loop Python can't vectorize).
+// CRC-8 poly 0x07 init 0; CRC-16 poly 0x8005 init 0, both MSB-first.
+uint32_t flac_crc8(const uint8_t* data, int64_t n) {
+  static uint8_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) {
+      uint8_t c = (uint8_t)i;
+      for (int k = 0; k < 8; ++k) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint8_t crc = 0;
+  for (int64_t i = 0; i < n; ++i) crc = table[crc ^ data[i]];
+  return crc;
+}
+
+uint32_t flac_crc16(const uint8_t* data, int64_t n) {
+  static uint16_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) {
+      uint16_t c = (uint16_t)(i << 8);
+      for (int k = 0; k < 8; ++k)
+        c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint16_t crc = 0;
+  for (int64_t i = 0; i < n; ++i)
+    crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ data[i]]);
+  return crc;
+}
+
 }  // extern "C"

@@ -39,8 +39,11 @@ def _run_cli(args):
         ["--float32"],
         ["--segment", "8"],
         ["--no-split", "--shifts", "0"],
+        ["--flac"],
+        ["--flac", "--int24"],
     ],
-    ids=["plain", "two_stems", "two_stems_minus", "int24_clamp", "float32", "segment", "no_split"],
+    ids=["plain", "two_stems", "two_stems_minus", "int24_clamp", "float32", "segment", "no_split",
+         "flac", "flac_int24"],
 )
 def test_cli_matrix(track, tmp_path, extra):
     path, wav, sr = track
@@ -48,14 +51,22 @@ def test_cli_matrix(track, tmp_path, extra):
     _run_cli([path, "-n", "demucs_unittest", "-o", out, "--shifts", "0", *extra])
     stems_dir = out / "demucs_unittest" / "test"
     files = sorted(p.name for p in stems_dir.iterdir())
+    ext = ".flac" if "--flac" in extra else ".wav"
     if "--two-stems" in [str(e) for e in extra]:
-        assert "vocals.wav" in files
-        assert ("no_vocals.wav" in files) or ("minus_vocals.wav" in files)
+        assert f"vocals{ext}" in files
+        assert (f"no_vocals{ext}" in files) or (f"minus_vocals{ext}" in files)
     else:
-        assert files == ["bass.wav", "drums.wav", "other.wav", "vocals.wav"]
-    got, got_sr = dta.read_wav(stems_dir / files[0])
+        assert files == [f"bass{ext}", f"drums{ext}", f"other{ext}", f"vocals{ext}"]
+    got, got_sr = dta.read_audio(stems_dir / files[0])
     assert got_sr == sr
     assert got.shape[0] == 2 and abs(got.shape[1] - wav.shape[1]) == 0
+    if ext == ".flac":
+        # hermetic decode-verify of the first-party FLAC stems: frame CRCs +
+        # stream MD5 checked, bit depth per --int24
+        from demucs_tpu.flacio import decode_flac
+
+        _, _, bps = decode_flac((stems_dir / files[0]).read_bytes())
+        assert bps == (24 if "--int24" in extra else 16)
 
 
 def test_cli_list_models_content(capsys):

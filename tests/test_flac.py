@@ -1,0 +1,113 @@
+"""First-party FLAC codec tests (demucs_tpu/flacio.py).
+
+The reference's ``--flac`` / ``--flac --int24`` CLI cases (its Makefile
+``test_eval`` matrix) run through ffmpeg; ours are hermetic — encoded by
+flacio and verified by decoding (bit-exact round-trip + STREAMINFO MD5 +
+frame CRCs)."""
+
+import numpy as np
+import pytest
+
+from demucs_tpu.flacio import (
+    _crc8_py, _crc16_py, decode_flac, encode_flac, read_flac, write_flac,
+)
+
+
+def _noise(c, t, seed=0, scale=0.3):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((c, t)) * scale).clip(-0.99, 0.99)
+
+
+def _quant(wav, bps):
+    lim = (1 << (bps - 1)) - 1
+    return np.clip(np.round(wav * lim), -lim - 1, lim).astype(np.int32)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("bps", [16, 24])
+@pytest.mark.parametrize("t", [1, 100, 4096, 4097, 3 * 4096 + 17])
+def test_roundtrip_noise(channels, bps, t):
+    x = _quant(_noise(channels, t, seed=t + bps), bps)
+    data = encode_flac(x, 44100, bps)
+    got, sr, got_bps = decode_flac(data)
+    assert (sr, got_bps) == (44100, bps)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_roundtrip_tonal_compresses():
+    """Smooth signals pick FIXED+Rice subframes and beat raw PCM size."""
+    t = np.arange(6 * 4096)
+    wav = np.stack([0.5 * np.sin(2 * np.pi * 220 * t / 44100),
+                    0.4 * np.sin(2 * np.pi * 330 * t / 44100 + 0.3)])
+    x = _quant(wav, 16)
+    data = encode_flac(x, 44100, 16)
+    got, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(got, x)
+    assert len(data) < x.size * 2 * 0.7, (len(data), x.size * 2)
+
+
+def test_constant_and_silence_subframes():
+    x = np.zeros((2, 9000), np.int32)
+    x[1] = 1234
+    data = encode_flac(x, 8000, 16)
+    got, sr, _ = decode_flac(data)
+    assert sr == 8000
+    np.testing.assert_array_equal(got, x)
+    assert len(data) < 200  # constant subframes only
+
+
+def test_md5_and_crc_detect_corruption():
+    x = _quant(_noise(2, 5000, seed=3), 16)
+    data = bytearray(encode_flac(x, 44100, 16))
+    decode_flac(bytes(data))  # sanity
+
+    flipped = bytearray(data)
+    flipped[len(flipped) // 2] ^= 0xFF  # inside a frame payload
+    with pytest.raises(ValueError):
+        decode_flac(bytes(flipped))
+
+
+def test_streaminfo_fields():
+    x = _quant(_noise(2, 10000, seed=5), 24)
+    data = encode_flac(x, 48000, 24)
+    assert data[:4] == b"fLaC"
+    got, sr, bps = decode_flac(data)
+    assert (sr, bps) == (48000, 24)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_write_read_float_roundtrip(tmp_path):
+    wav = _noise(2, 22050, seed=7).astype(np.float32)
+    path = tmp_path / "x.flac"
+    write_flac(path, wav, 22050, bits_per_sample=16)
+    got, sr = read_flac(path)
+    assert sr == 22050 and got.shape == wav.shape
+    assert np.abs(got - wav).max() < 1.0 / (1 << 15)
+
+
+def test_save_audio_read_audio_flac(tmp_path):
+    """save_audio's .flac path (the CLI writer) is decoded by read_audio."""
+    from demucs_tpu.audio import read_audio, save_audio
+
+    wav = _noise(2, 30000, seed=9).astype(np.float32)
+    for bps in (16, 24):
+        path = tmp_path / f"stem{bps}.flac"
+        save_audio(wav, path, 44100, bits_per_sample=bps, clip="rescale")
+        got, sr = read_audio(path)
+        assert sr == 44100
+        # rescale clip mode divides by max(1.01*peak, 1) <= 1 here
+        scale = max(1.01 * np.abs(wav).max(), 1)
+        assert np.abs(got - wav / scale).max() < 1.2 / (1 << (bps - 1))
+
+
+def test_crc_native_matches_python():
+    from demucs_tpu import native
+
+    lib = native.get_lib()
+    data = bytes(np.random.default_rng(0).integers(0, 256, 5000, np.uint8))
+    if lib is not None and hasattr(lib, "flac_crc8"):
+        assert lib.flac_crc8(data, len(data)) == _crc8_py(data)
+        assert lib.flac_crc16(data, len(data)) == _crc16_py(data)
+    # known-answer: CRC-16/BUYPASS ("123456789" -> 0xFEE8), CRC-8 -> 0xF4
+    assert _crc16_py(b"123456789") == 0xFEE8
+    assert _crc8_py(b"123456789") == 0xF4
