@@ -15,10 +15,16 @@ test_train:
 bench:
 	python bench.py
 
+# Quality-gate runbook (networked machine + MUSDB-HQ checkout required):
+#   make sdr MUSDB=/path/to/musdbhq [SDR_MODEL=htdemucs_ft]
+SDR_MODEL ?= htdemucs_ft
+sdr:
+	python tools/run_sdr.py -n $(SDR_MODEL) --musdb $(MUSDB)
+
 native:
 	g++ -O3 -shared -fPIC -pthread -std=c++17 native/wavio.cpp -o native/wavio.so
 
 lint:
 	python -m flake8 --max-line-length=100 demucs_tpu tests || true
 
-.PHONY: all tests test_eval test_train bench native lint
+.PHONY: all tests test_eval test_train bench sdr native lint
