@@ -7,18 +7,23 @@ pre-masking spectral + time estimates out (htdemucs.py:662-759) — converted
 to a TF graph. From the SavedModel, standard offline converters produce the
 serving artifacts:
 
-  * TF Serving / TF C++ runtime: load the SavedModel directly.
-  * Browser: ``tensorflowjs_converter --input_format=tf_saved_model`` (run on
-    a machine with tensorflowjs installed; needs ``--graph`` export below so
-    the graph contains plain TF ops, not an XlaCallModule blob).
-  * TFLite: ``tf.lite.TFLiteConverter.from_saved_model``.
+  * TF Serving / TF C++ runtime: load the SavedModel directly (the core is
+    an XlaCallModule op lowered for BOTH cpu and tpu).
+  * Browser: current jax2tf emits only native (XlaCallModule) graphs — the
+    plain-TF-op mode tensorflowjs needs was removed upstream — so the
+    browser last mile runs through the sibling StableHLO artifact
+    (tools/export_stablehlo.py) and a StableHLO-consuming toolchain
+    (IREE-wasm or tfjs' StableHLO ingestion) on a networked workstation.
+    docs/deployment.md spells out the full contract.
+  * TFLite: ``tf.lite.TFLiteConverter.from_saved_model`` (recent converters
+    ingest StableHLO modules).
 
 ``meta.json`` (samplerate/channels/nfft/cac/segment) is written next to the
 artifact, mirroring the fork's web/public/models/meta.json contract so a
 browser runtime can drive the identical chunked STFT/overlap-add pipeline.
 
 Usage:
-    python tools/export_tf.py -n htdemucs --out htdemucs_tf [--graph]
+    python tools/export_tf.py -n htdemucs --out htdemucs_tf
     python tools/export_tf.py --random --out /tmp/m  # offline smoke
 """
 import sys as _sys, pathlib as _pl
@@ -31,13 +36,9 @@ from pathlib import Path
 import numpy as np
 
 
-def export_tf_core(params, cfg, out: Path, graph: bool = False,
-                   sample_inputs=None):
+def export_tf_core(params, cfg, out: Path, sample_inputs=None):
     """Convert jitted ``forward_core`` to TF and save a SavedModel at ``out``.
 
-    ``graph=True`` uses non-native (graph-op) serialization — required by
-    downstream tfjs/TFLite converters that cannot execute XlaCallModule;
-    native serialization (default) is the robust path for TF Serving.
     Returns (spec_out, time_out) computed by the reloaded SavedModel on
     ``sample_inputs`` (or zeros) for parity checking."""
     import tensorflow as tf
@@ -60,10 +61,12 @@ def export_tf_core(params, cfg, out: Path, graph: bool = False,
     def core(flat_params, mag, mix):
         return ht.forward_core(_nest(flat_params), mag, mix, cfg)
 
+    # one artifact serves CPU hosts and TPU servers regardless of the
+    # exporting process's default backend
     tf_core = jax2tf.convert(
-        core, native_serialization=not graph,
-        with_gradient=False,
-    )
+        core, native_serialization=True,
+        native_serialization_platforms=("cpu", "tpu"),
+        with_gradient=False)
 
     # Weights as tf.Variables (closure-captured): the SavedModel embeds them
     # as standard checkpoint shards, which tfjs/TFLite converters understand.
@@ -112,9 +115,6 @@ def main():
     parser.add_argument("--repo", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("htdemucs_tf"))
     parser.add_argument("--segment", type=float, default=None)
-    parser.add_argument("--graph", action="store_true",
-                        help="graph-op serialization (for tfjs/TFLite "
-                        "converters) instead of native StableHLO-in-TF")
     parser.add_argument("--random", action="store_true",
                         help="random weights instead of the zoo (offline use)")
     args = parser.parse_args()
@@ -134,10 +134,10 @@ def main():
         assert model.kind == "htdemucs", "TF core export supports htdemucs"
         cfg, params = model.cfg, model.params
 
-    spec_out, time_out = export_tf_core(params, cfg, args.out, graph=args.graph)
+    spec_out, time_out = export_tf_core(params, cfg, args.out)
     size = sum(f.stat().st_size for f in Path(args.out).rglob("*") if f.is_file())
     print(f"exported TF SavedModel: {args.out} ({size/2**20:.1f} MB, "
-          f"{'graph' if args.graph else 'native'} serialization)")
+          "native serialization)")
     print(f"  spec_out {spec_out.shape}, time_out {time_out.shape}")
 
 
