@@ -128,43 +128,70 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
             )  # (n_batches, batch_size, S, C, target)
         outs = outs.reshape(n_pad, n_sources, audio_channels, target)
 
-        # Per-segment weight vector over target coords: sample j contributes
-        # weight[j - trim] when trim <= j < trim + chunk_len (and segment valid).
-        j = jnp.arange(target, dtype=jnp.int32)[None, :]
-        rel = j - trim[:, None]
-        in_range = (rel >= 0) & (rel < chunk_len[:, None]) & valid[:, None]
-        wvec = jnp.where(
-            in_range,
-            jnp.take(jnp.asarray(weight_np), jnp.clip(rel, 0, segment_length - 1)),
-            0.0,
-        )  # (n_pad, target)
-
         # Parallel overlap-add (replaces a serial fori_loop scatter; matches
         # the reference hot loop apply.py:257-301 numerically). Two steps:
         #
         # 1. Roll each segment's weighted contribution LEFT by its center-trim
         #    so every window lands at the UNIFORM position base + i*stride
         #    (tail segments' trim otherwise shifts their window start). The
-        #    roll's wrapped entries are exactly the wvec-masked (rel < 0)
-        #    zeros, so a plain modular gather is lossless.
+        #    roll's wrapped entries are exactly the weight-masked (rel < 0)
+        #    zeros, so the rotation is lossless.
         # 2. Group segments by i mod K with K = ceil(target/stride): within a
         #    group, windows are P = K*stride >= target apart, hence DISJOINT —
         #    a group flattens to one contiguous strip added with a single
         #    dynamic_update_slice. K strip-adds total (K=2 at the default
         #    overlap 0.25) instead of n_segments serial scatter iterations.
         #
+        # Perf (tools/probe_ola.py): a naive full-size take_along_axis roll
+        # gather costs 2x the model forwards on v5e. But segments with
+        # o + segment_length <= length are full-window and valid at EVERY
+        # shift offset, so their trim is the compile-time constant
+        # (target - segment_length)//2: their weighted+rolled contribution
+        # needs no gather at all (static weight vector, static rotation).
+        # Only the <= ceil(segment_length/stride)+1 potential tail segments
+        # take the dynamic path, and their roll runs as a vmapped
+        # dynamic_slice on a doubled buffer (contiguous slices lower far
+        # better than arbitrary gathers on TPU).
+        #
         # Summation order: each output sample receives one term per covering
         # group. At overlap <= 0.5 (<= 2 covering segments) the result is
         # bit-identical to the sequential scatter (two-term float sums are
         # commutative); at higher overlaps group-order association differs
         # from segment-order by ~1 ulp.
-        contrib = outs * wvec[:, None, None, :]  # (n_pad, S, C, target)
-        roll_idx = (jnp.arange(target, dtype=jnp.int32)[None, :]
-                    + trim[:, None]) % target
-        contrib = jnp.take_along_axis(
-            contrib, jnp.broadcast_to(roll_idx[:, None, None, :], contrib.shape),
-            axis=-1)
-        wroll = jnp.take_along_axis(wvec, roll_idx, axis=1)
+        trim_full = (target - segment_length) // 2
+        tail_start = min(n_pad, max(0, (length - segment_length) // stride + 1))
+        w_pad = np.zeros(target, np.float32)
+        w_pad[trim_full:trim_full + segment_length] = weight_np
+        head_w_rolled = jnp.asarray(np.roll(w_pad, -trim_full))  # = w at [0, seg)
+
+        head = jnp.roll(outs[:tail_start], -trim_full, axis=-1)  # static shift
+        head = head * head_w_rolled
+
+        j = jnp.arange(target, dtype=jnp.int32)[None, :]
+        rel = j - trim[tail_start:, None]
+        in_range = ((rel >= 0) & (rel < chunk_len[tail_start:, None])
+                    & valid[tail_start:, None])
+        wvec_t = jnp.where(
+            in_range,
+            jnp.take(jnp.asarray(weight_np), jnp.clip(rel, 0, segment_length - 1)),
+            0.0,
+        )  # (n_tail, target)
+        contrib_t = outs[tail_start:] * wvec_t[:, None, None, :]
+
+        def roll_left(x, w, t):
+            x2 = jnp.concatenate([x, x], axis=-1)
+            w2 = jnp.concatenate([w, w])
+            return (jax.lax.dynamic_slice(
+                        x2, (0, 0, t), (n_sources, audio_channels, target)),
+                    jax.lax.dynamic_slice(w2, (t,), (target,)))
+
+        contrib_t, wroll_t = jax.vmap(roll_left)(
+            contrib_t, wvec_t, trim[tail_start:])
+
+        contrib = jnp.concatenate([head, contrib_t], axis=0)
+        wroll = jnp.concatenate(
+            [jnp.broadcast_to(head_w_rolled, (tail_start, target)), wroll_t],
+            axis=0)
 
         K = -(-target // stride)
         P = K * stride

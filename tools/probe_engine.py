@@ -60,6 +60,59 @@ def main():
         print(f"final fetch {wire or 'float32'} "
               f"({4*2*L*(item//8)/2**20:.0f} MB wire): {time.time()-t0:.2f} s")
 
+    # ---- decomposition of the pass itself (VERDICT r02 item 1) ----
+    # (a) relay round-trip of a trivial program (dispatch + scalar fetch)
+    tiny = jax.device_put(np.zeros(8, np.float32))
+    rtt_fn = jax.jit(lambda x: jnp.sum(x) + 1.0)
+    float(rtt_fn(tiny))  # compile+load
+    rtts = []
+    for _ in range(20):
+        t0 = time.time()
+        float(rtt_fn(tiny))
+        rtts.append(time.time() - t0)
+    rtts.sort()
+    print(f"relay RTT (trivial program dispatch+scalar fetch): "
+          f"median {rtts[10]*1e3:.0f} ms, min {rtts[0]*1e3:.0f} ms")
+
+    # (b) host-side cost of an ASYNC pass dispatch (no sync)
+    t0 = time.time()
+    accum3 = pass_fn(params, buf_dev, jnp.int32(123),
+                     jnp.zeros((4, 2, L), jnp.float32), scale)
+    t_async = time.time() - t0
+    _ = float(jnp.sum(accum3[..., :8]))
+    print(f"pass dispatch (async, host-side return): {t_async*1e3:.0f} ms")
+
+    # (c) the segment forwards ALONE at the engine's exact batch geometry
+    # (same lax.map over right-sized batches, minus extract/OLA/accumulate) —
+    # pass_steady - forward_only - RTT = extract+OLA+scatter cost.
+    from demucs_tpu.train.solver import model_forward_fn
+
+    fwd = model_forward_fn("htdemucs")
+    n_segments = int(np.ceil((L + max_shift) / stride))
+    segs = (np.random.default_rng(1).standard_normal(
+        (1, n_segments, 2, target)) * 0.1).astype(np.float32)
+
+    @jax.jit
+    def forward_only(params, segs):
+        outs = jax.lax.map(lambda s: fwd(params, s, cfg), segs)
+        return jnp.sum(outs[..., ::4096].astype(jnp.float32))
+
+    segs_dev = jax.device_put(segs)
+    t0 = time.time()
+    float(forward_only(params, segs_dev))
+    print(f"forward-only (compile+load): {time.time()-t0:.1f} s")
+    fts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(forward_only(params, segs_dev))
+        fts.append(time.time() - t0)
+    fts.sort()
+    print(f"forward-only steady ({n_segments} segments x {target/44100:.1f}s): "
+          f"median {fts[2]:.3f} s  "
+          f"(= {n_segments*target/44100/fts[2]:.0f} forward audio-s/s)")
+    print(f"track audio-s per pass-equivalent: {L/44100:.0f}; engine ceiling "
+          f"from forwards alone: {L/44100/fts[2]:.0f} audio-s/s")
+
 
 if __name__ == "__main__":
     main()
