@@ -72,8 +72,12 @@ def main():
                         "~44 dB SNR vs the default path)")
     args = parser.parse_args()
     if args.preset == "fast":
-        args.dtype = "bfloat16"
-        args.transfer = "int8"
+        # fill only flags the user did not pass — an explicit
+        # --dtype/--transfer wins over the preset (matches the CLI contract)
+        if "--dtype" not in sys.argv:
+            args.dtype = "bfloat16"
+        if "--transfer" not in sys.argv:
+            args.transfer = "int8"
 
     import jax
 

@@ -208,7 +208,8 @@ def encode_flac(samples: np.ndarray, samplerate: int, bits_per_sample: int = 16,
     assert 1 <= C <= 8, C
     assert bits_per_sample in (8, 16, 24), bits_per_sample
     lim = 1 << (bits_per_sample - 1)
-    assert samples.min() >= -lim and samples.max() < lim, "sample overflow"
+    if samples.size:
+        assert samples.min() >= -lim and samples.max() < lim, "sample overflow"
     samples = samples.astype(np.int32)
 
     # MD5 of the raw interleaved little-endian signed samples (STREAMINFO)
@@ -270,8 +271,12 @@ def write_flac(path, wav: np.ndarray, samplerate: int,
 # ---------------------------------------------------------------- decoder
 
 class _BitReader:
-    def __init__(self, data: bytes, pos_bytes: int = 0):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    def __init__(self, data: bytes, pos_bytes: int = 0,
+                 bits: tp.Optional[np.ndarray] = None):
+        # ``bits`` lets the caller unpack the stream ONCE and share it across
+        # frames (unpacking per frame would make decode O(frames x filesize)).
+        self.bits = (np.unpackbits(np.frombuffer(data, np.uint8))
+                     if bits is None else bits)
         self.pos = pos_bytes * 8
 
     def read(self, n: int) -> int:
@@ -410,9 +415,13 @@ def decode_flac(data: bytes, verify_md5: bool = True
             break
     assert sr is not None, "missing STREAMINFO"
 
-    out = np.zeros((channels, total), np.int64)
+    # One unpack of the whole stream, shared by every frame's bit reader.
+    allbits = np.unpackbits(np.frombuffer(data, np.uint8))
+    decoded: tp.List[np.ndarray] = []  # per-frame (channels, bs) blocks
     w = 0
-    while w < total and pos < len(data):
+    # total == 0 is legal STREAMINFO for "unknown length" (streamed encodes):
+    # decode until the byte stream runs out instead.
+    while (total == 0 or w < total) and pos + 4 <= len(data):
         if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
             raise ValueError(f"lost frame sync at byte {pos}")
         hdr_start = pos
@@ -448,7 +457,7 @@ def decode_flac(data: bytes, verify_md5: bool = True
 
         frame_bps = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
                      0b111: 32}.get(ss_bits, bps)
-        br = _BitReader(data, pos)
+        br = _BitReader(data, pos, bits=allbits)
         if chan_assign <= 0b0111:  # independent
             chans = [_decode_subframe(br, bs, frame_bps)
                      for _ in range(chan_assign + 1)]
@@ -474,10 +483,16 @@ def decode_flac(data: bytes, verify_md5: bool = True
             raise ValueError("frame CRC-16 mismatch")
         pos = frame_end + 2
 
-        take = min(bs, total - w)
-        for c, x in enumerate(chans):
-            out[c, w:w + take] = x[:take]
-        w += take
+        decoded.append(np.stack(chans))
+        w += bs
+
+    out = (np.concatenate(decoded, axis=-1) if decoded
+           else np.zeros((channels, 0), np.int64))
+    if total:
+        if out.shape[-1] < total:
+            raise ValueError(
+                f"stream truncated: {out.shape[-1]} of {total} samples")
+        out = out[:, :total]
 
     if verify_md5 and md5 and md5 != b"\0" * 16:
         width = bps // 8
@@ -489,6 +504,9 @@ def decode_flac(data: bytes, verify_md5: bool = True
 
 
 def read_flac(path) -> tp.Tuple[np.ndarray, int]:
-    """-> (float32 ``(C, T)`` scaled to [-1, 1], samplerate)."""
+    """-> (float32 ``(C, T)`` scaled to [-1, 1], samplerate).
+
+    Same decode convention as ``audio.read_wav`` (and torchaudio): divide by
+    2**(bps-1), so identical PCM content reads identically from .wav/.flac."""
     samples, sr, bps = decode_flac(Path(path).read_bytes())
-    return samples.astype(np.float32) / float((1 << (bps - 1)) - 1), sr
+    return samples.astype(np.float32) / float(1 << (bps - 1)), sr

@@ -315,8 +315,8 @@ SBATCH_DEFAULTS: tp.Dict[str, tp.Any] = {
 }
 
 
-def emit_sbatch(name: str, grid: Grid, directory, slurm: tp.Mapping[str, tp.Any],
-                base_overrides_tokens: tp.Sequence[str] = ()) -> list:
+def emit_sbatch(name: str, grid: Grid,
+                directory, slurm: tp.Mapping[str, tp.Any]) -> list:
     """Write one sbatch submission script per grid entry into ``directory``
     and return the script paths.
 
@@ -411,8 +411,16 @@ def main(argv=None, runner=_run_subprocess) -> None:
         at = rest.index("--sbatch")
         sbatch_dir = rest[at + 1]
         rest = rest[:at] + rest[at + 2:]
+    slurm_tokens = [t for t in rest if t.startswith("slurm.")]
+    bad = [t for t in slurm_tokens if "=" not in t]
+    if bad:
+        raise SystemExit(f"slurm directives need slurm.key=value, got: {bad}")
+    if slurm_tokens and sbatch_dir is None:
+        raise SystemExit(
+            "slurm.* directives only apply with --sbatch DIR "
+            f"(got: {slurm_tokens})")
     slurm = {t.split("=", 1)[0][len("slurm."):]: t.split("=", 1)[1]
-             for t in rest if t.startswith("slurm.")}
+             for t in slurm_tokens}
     rest = [t for t in rest if not t.startswith("slurm.")]
     extra = parse_cli_overrides([t for t in rest if "=" in t])
     grid = resolve(name, extra)

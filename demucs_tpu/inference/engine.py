@@ -543,10 +543,12 @@ def _dispatch_track(
         and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
         and mesh.devices.size % len(models) == 0
     )
-    if prestaged and (fan_out or length_bucket_seconds):
+    if prestaged and (fan_out or length_bucket_seconds or mesh is not None):
         raise ValueError(
-            "prestaged buffers are keyed on exact track length/segment; "
-            "incompatible with length bucketing and bag fan-out")
+            "prestaged buffers are keyed on exact track length/segment and "
+            "committed to a single device; incompatible with length "
+            "bucketing, bag fan-out, and meshes (stage_track has no "
+            "sharding parameter)")
     if fan_out:
         if progress:
             # All bag members run concurrently in one dispatch — there is no

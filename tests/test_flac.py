@@ -82,7 +82,9 @@ def test_write_read_float_roundtrip(tmp_path):
     write_flac(path, wav, 22050, bits_per_sample=16)
     got, sr = read_flac(path)
     assert sr == 22050 and got.shape == wav.shape
-    assert np.abs(got - wav).max() < 1.0 / (1 << 15)
+    # write scales by 2**15-1, read by 1/2**15 (the torchaudio/read_wav
+    # convention): quantization half-step + the 32767/32768 gain
+    assert np.abs(got - wav).max() < 1.6 / (1 << 15)
 
 
 def test_save_audio_read_audio_flac(tmp_path):
@@ -97,7 +99,55 @@ def test_save_audio_read_audio_flac(tmp_path):
         assert sr == 44100
         # rescale clip mode divides by max(1.01*peak, 1) <= 1 here
         scale = max(1.01 * np.abs(wav).max(), 1)
-        assert np.abs(got - wav / scale).max() < 1.2 / (1 << (bps - 1))
+        assert np.abs(got - wav / scale).max() < 1.6 / (1 << (bps - 1))
+
+
+def test_unknown_length_stream_decodes():
+    """STREAMINFO total_samples == 0 ("unknown", legal for streamed encodes)
+    must decode every frame present, not return empty audio."""
+    x = _quant(_noise(2, 9000, seed=21), 16)
+    data = bytearray(encode_flac(x, 44100, 16))
+    # zero the 36-bit total inside the 8-byte packed STREAMINFO field and
+    # the MD5 (it covers a now-unknown sample count)
+    off = 8 + 10  # fLaC + block header + min/max blocksize + frame sizes
+    packed = int.from_bytes(data[off:off + 8], "big")
+    packed &= ~((1 << 36) - 1)
+    data[off:off + 8] = packed.to_bytes(8, "big")
+    data[off + 8:off + 24] = b"\0" * 16
+    got, sr, bps = decode_flac(bytes(data))
+    np.testing.assert_array_equal(got, x)
+
+
+def test_truncated_stream_raises():
+    x = _quant(_noise(2, 9000, seed=22), 16)
+    data = encode_flac(x, 44100, 16)
+    # mid-frame cut: fails loudly (bit reader exhaustion or the final
+    # sample-count check), never returns short audio silently
+    with pytest.raises((ValueError, IndexError)):
+        decode_flac(data[: len(data) * 2 // 3])
+
+
+def test_empty_input_encodes():
+    data = encode_flac(np.zeros((2, 0), np.int32), 44100, 16)
+    got, sr, bps = decode_flac(data)
+    assert got.shape == (2, 0) and sr == 44100 and bps == 16
+
+
+def test_wav_flac_decode_convention_matches(tmp_path):
+    """Identical PCM16 content reads to identical floats from .wav and .flac
+    (both divide by 2**15, the torchaudio convention)."""
+    from demucs_tpu.audio import read_wav, write_wav
+
+    wav = _noise(2, 4096, seed=23).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, 44100, bits_per_sample=16)
+    w16, _ = read_wav(tmp_path / "a.wav")
+    q = np.round(np.clip(wav, -1, 1) * (2 ** 15 - 1)).astype(np.int32)
+    (tmp_path / "a.flac").write_bytes(encode_flac(q, 44100, 16))
+    f16, _ = read_flac(tmp_path / "a.flac")
+    # write_wav truncates toward zero while write_flac rounds; compare on the
+    # decode side with identical int content instead
+    np.testing.assert_allclose(f16, q.astype(np.float32) / 32768.0, rtol=0,
+                               atol=0)
 
 
 def test_crc_native_matches_python():

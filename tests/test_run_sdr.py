@@ -126,7 +126,8 @@ def test_runbook_end_to_end(forged_zoo, forged_musdb, tmp_path, capsys):
     n = len(served)
     scores = run_sdr.run(run_sdr.build_parser().parse_args([
         "-n", "htdemucs", "--musdb", str(forged_musdb),
-        "--nsdr-only", "--shifts", "0", "--workers", "0"]))
+        "--nsdr-only", "--shifts", "0", "--workers", "0",
+        "--out", str(tmp_path / "verdict2.json")]))
     assert len(served) == n
     assert scores["metric"] == "nsdr"
     # default gate comes from the published table; random weights fail it
