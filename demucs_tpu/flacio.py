@@ -15,8 +15,9 @@ native library (native/wavio.cpp::flac_crc8/16) with a pure-Python fallback.
 Decoder (verification + hermetic ``.flac`` read): handles everything the
 encoder emits plus the rest of the frame spec needed for real-world files —
 LPC subframes, 4/5-bit Rice partitions of any order, wasted bits, and
-left/right/mid-side stereo decorrelation. Per-sample loops make it
-correctness-grade, not throughput-grade.
+left/right/mid-side stereo decorrelation. The two inherently sequential
+loops (Rice bit scan, LPC integer IIR) run in the native library
+(native/wavio.cpp) with pure-Python fallbacks.
 """
 
 from __future__ import annotations
@@ -275,6 +276,7 @@ class _BitReader:
                  bits: tp.Optional[np.ndarray] = None):
         # ``bits`` lets the caller unpack the stream ONCE and share it across
         # frames (unpacking per frame would make decode O(frames x filesize)).
+        self.raw = data  # for the native Rice fast path
         self.bits = (np.unpackbits(np.frombuffer(data, np.uint8))
                      if bits is None else bits)
         self.pos = pos_bytes * 8
@@ -328,11 +330,34 @@ def _read_rice_partitioned(br: _BitReader, n: int, order: int) -> np.ndarray:
             vals = br.read_signed_array(count, rb) if rb else np.zeros(count, np.int64)
             out[w:w + count] = vals
         else:
-            for i in range(count):
-                q = br.read_unary()
-                u = (q << k) | br.read(k)
-                out[w + i] = (u >> 1) ^ -(u & 1)
+            out[w:w + count] = _rice_decode(br, count, k)
         w += count
+    return out
+
+
+def _rice_decode(br: _BitReader, count: int, k: int) -> np.ndarray:
+    """Rice-decode ``count`` residuals — native bit scanner when built (the
+    one decoder loop numpy cannot vectorize: remainder bits alias the unary
+    terminators), Python bit loop otherwise."""
+    from demucs_tpu import native
+
+    lib = native.get_lib()
+    if count and lib is not None and hasattr(lib, "flac_rice_decode"):
+        import ctypes
+
+        out = np.empty(count, np.int64)
+        newpos = lib.flac_rice_decode(
+            br.raw, len(br.raw), br.pos, count, k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if newpos < 0:
+            raise ValueError("rice stream overrun (truncated frame)")
+        br.pos = int(newpos)
+        return out
+    out = np.empty(count, np.int64)
+    for i in range(count):
+        q = br.read_unary()
+        u = (q << k) | br.read(k)
+        out[i] = (u >> 1) ^ -(u & 1)
     return out
 
 
@@ -367,13 +392,27 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         warm = br.read_signed_array(order, bps)
         prec = br.read(4) + 1
         shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is reserved")
         coefs = br.read_signed_array(order, prec)
         res = _read_rice_partitioned(br, n, order)
         x = np.empty(n, np.int64)
         x[:order] = warm
-        for i in range(order, n):  # sequential integer IIR (decoder-grade)
-            pred = int(np.dot(coefs, x[i - order:i][::-1])) >> shift
-            x[i] = pred + res[i - order]
+        x[order:] = res
+        from demucs_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "flac_lpc_restore"):
+            import ctypes
+
+            c = np.ascontiguousarray(coefs, np.int32)
+            lib.flac_lpc_restore(
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), order,
+                shift, x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        else:
+            for i in range(order, n):  # sequential integer IIR (fallback)
+                pred = int(np.dot(coefs, x[i - order:i][::-1])) >> shift
+                x[i] = pred + res[i - order]
     else:
         raise ValueError(f"reserved subframe type {stype:#08b}")
     return x << wasted

@@ -66,11 +66,18 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
     lib.prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.POINTER(ctypes.c_float)]
     lib.prefetch_destroy.argtypes = [ctypes.c_void_p]
-    try:  # stale pre-FLAC .so builds lack these two symbols
+    try:  # stale pre-FLAC .so builds lack these symbols
         lib.flac_crc8.restype = ctypes.c_uint32
         lib.flac_crc8.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.flac_crc16.restype = ctypes.c_uint32
         lib.flac_crc16.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.flac_rice_decode.restype = ctypes.c_int64
+        lib.flac_rice_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        lib.flac_lpc_restore.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
     except AttributeError:
         pass
     _lib = lib

@@ -285,6 +285,44 @@ uint32_t flac_crc8(const uint8_t* data, int64_t n) {
   return crc;
 }
 
+// Decode `count` Rice codes with parameter k from absolute MSB-first bit
+// offset `bitpos` into zigzag-decoded residuals. Returns the new bit offset,
+// or -1 on stream overrun. (The per-sample scan is the FLAC decoder's one
+// loop numpy cannot vectorize — remainder bits alias the unary terminators.)
+int64_t flac_rice_decode(const uint8_t* data, int64_t nbytes, int64_t bitpos,
+                         int64_t count, int k, int64_t* out) {
+  const int64_t nbits = nbytes * 8;
+  for (int64_t i = 0; i < count; ++i) {
+    int64_t q = 0;
+    while (bitpos < nbits && !((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)) {
+      ++bitpos;
+      ++q;
+    }
+    if (bitpos >= nbits) return -1;
+    ++bitpos;  // the terminating 1 bit
+    uint64_t u = (uint64_t)q << k;
+    for (int j = k - 1; j >= 0; --j) {
+      if (bitpos >= nbits) return -1;
+      u |= (uint64_t)((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1) << j;
+      ++bitpos;
+    }
+    out[i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+  }
+  return bitpos;
+}
+
+// In-place LPC reconstruction: x[0..order) = warmup, x[order..n) = residuals
+// on input; on output x holds the restored samples (x[i] += (sum coef[j] *
+// x[i-1-j]) >> shift — the FLAC integer predictor).
+void flac_lpc_restore(const int32_t* coefs, int order, int shift, int64_t* x,
+                      int64_t n) {
+  for (int64_t i = order; i < n; ++i) {
+    int64_t pred = 0;
+    for (int j = 0; j < order; ++j) pred += (int64_t)coefs[j] * x[i - 1 - j];
+    x[i] += pred >> shift;
+  }
+}
+
 uint32_t flac_crc16(const uint8_t* data, int64_t n) {
   static uint16_t table[256];
   static bool init = false;

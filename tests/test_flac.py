@@ -150,6 +150,21 @@ def test_wav_flac_decode_convention_matches(tmp_path):
                                atol=0)
 
 
+def test_python_fallback_decode_matches_native(monkeypatch):
+    """With the native library unavailable, the pure-Python Rice/LPC paths
+    must decode identically (they are the portability fallback)."""
+    from demucs_tpu import flacio, native
+
+    x = _quant(_noise(2, 3 * 4096 + 100, seed=31), 16)
+    data = encode_flac(x, 44100, 16)
+    want, _, _ = decode_flac(data)
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    got, _, _ = flacio.decode_flac(data)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, x)
+
+
 def test_crc_native_matches_python():
     from demucs_tpu import native
 
