@@ -116,6 +116,9 @@ class _BitWriter:
             out[starts + q + 1 + j] = (u >> (k - 1 - j)) & 1
         self.parts.append(out)
 
+    def nbits(self) -> int:
+        return sum(len(p) for p in self.parts)
+
     def pack(self) -> bytes:
         if not self.parts:
             return b""
@@ -160,14 +163,16 @@ def _zigzag(res: np.ndarray) -> np.ndarray:
     return (res << 1) ^ (res >> 63)
 
 
-def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
-    """Pick CONSTANT / FIXED+Rice / VERBATIM (whichever is smallest) and write
-    the subframe."""
+def _encode_subframe(x: np.ndarray, bps: int) -> _BitWriter:
+    """Pick CONSTANT / FIXED+Rice / VERBATIM (whichever is smallest) and
+    return the written subframe (its bit count drives the per-frame stereo
+    decorrelation choice)."""
+    bw = _BitWriter()
     n = len(x)
     if np.all(x == x[0]):
         bw.write(0, 8)  # pad bit + CONSTANT type 000000 + wasted-bits flag 0
         bw.write(int(x[0]), bps)
-        return
+        return bw
 
     verbatim_bits = 8 + n * bps
     best = ("verbatim", None, None, verbatim_bits)
@@ -186,7 +191,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
     if best[0] == "verbatim":
         bw.write(0b0_000001_0, 8)
         bw.write_signed_array(x, bps)
-        return
+        return bw
 
     order = best[1]
     _, u, k = best[2]
@@ -197,6 +202,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
     bw.write(0, 4)      # partition order 0
     bw.write(k, 4)
     bw.write_rice(u, k)
+    return bw
 
 
 def encode_flac(samples: np.ndarray, samplerate: int, bits_per_sample: int = 16,
@@ -233,14 +239,38 @@ def encode_flac(samples: np.ndarray, samplerate: int, bits_per_sample: int = 16,
         else:
             bs_bits, bs_tail = 0b0111, struct.pack(">H", bs - 1)
         header.append((bs_bits << 4) | 0b0000)  # samplerate: from STREAMINFO
-        header.append(((C - 1) << 4) | (sample_size_bits << 1))
+
+        # Stereo decorrelation: encode L/R/mid/side candidates and keep the
+        # cheapest assignment per frame (what libflac does). The transforms
+        # are the spec's lossless pairs: mid = (L+R)>>1 carries the shared
+        # content, side = L-R the difference (side subframes use bps+1 bits).
+        if C == 2 and bs:
+            L = x[0].astype(np.int64)
+            R = x[1].astype(np.int64)
+            sub_l = _encode_subframe(x[0], bits_per_sample)
+            sub_r = _encode_subframe(x[1], bits_per_sample)
+            sub_s = _encode_subframe(L - R, bits_per_sample + 1)
+            sub_m = _encode_subframe((L + R) >> 1, bits_per_sample)
+            cands = {
+                0b0001: [sub_l, sub_r],          # independent
+                0b1000: [sub_l, sub_s],          # left/side
+                0b1001: [sub_s, sub_r],          # side/right
+                0b1010: [sub_m, sub_s],          # mid/side
+            }
+            chan_assign, subs = min(
+                cands.items(), key=lambda kv: sum(s.nbits() for s in kv[1]))
+        else:
+            chan_assign = C - 1
+            subs = [_encode_subframe(x[c], bits_per_sample) for c in range(C)]
+
+        header.append((chan_assign << 4) | (sample_size_bits << 1))
         header += _utf8_number(fi)
         header += bs_tail
         header.append(_crc8(bytes(header)))
 
         bw = _BitWriter()
-        for c in range(C):
-            _encode_subframe(bw, x[c], bits_per_sample)
+        for s in subs:
+            bw.parts.extend(s.parts)
         frame = bytes(header) + bw.pack()
         frame += struct.pack(">H", _crc16(frame))
         frames.append(frame)
@@ -274,16 +304,29 @@ def write_flac(path, wav: np.ndarray, samplerate: int,
 class _BitReader:
     def __init__(self, data: bytes, pos_bytes: int = 0,
                  bits: tp.Optional[np.ndarray] = None):
-        # ``bits`` lets the caller unpack the stream ONCE and share it across
-        # frames (unpacking per frame would make decode O(frames x filesize)).
-        self.raw = data  # for the native Rice fast path
-        self.bits = (np.unpackbits(np.frombuffer(data, np.uint8))
-                     if bits is None else bits)
+        # With the native Rice decoder the bulk of the stream is read from
+        # ``raw`` directly, so header/warmup reads unpack just their own
+        # window — an up-front np.unpackbits of the WHOLE stream would cost
+        # an 8x-size allocation per file. Pass ``bits`` (the full unpacked
+        # stream) only for the pure-Python fallback, whose per-sample reads
+        # would otherwise re-unpack windows constantly.
+        self.raw = data
+        self.bits = bits
         self.pos = pos_bytes * 8
+
+    def _window(self, nbits: int) -> np.ndarray:
+        if self.bits is not None:
+            return self.bits[self.pos:self.pos + nbits]
+        lo = self.pos >> 3
+        hi = min(len(self.raw), (self.pos + nbits + 7) >> 3)
+        w = np.unpackbits(np.frombuffer(self.raw, np.uint8, count=hi - lo,
+                                        offset=lo))
+        start = self.pos - lo * 8
+        return w[start:start + nbits]
 
     def read(self, n: int) -> int:
         out = 0
-        for b in self.bits[self.pos:self.pos + n]:
+        for b in self._window(n):
             out = (out << 1) | int(b)
         self.pos += n
         return out
@@ -293,20 +336,32 @@ class _BitReader:
         return v - (1 << n) if v & (1 << (n - 1)) else v
 
     def read_signed_array(self, count: int, n: int) -> np.ndarray:
-        chunk = self.bits[self.pos:self.pos + count * n].reshape(count, n)
+        chunk = self._window(count * n).reshape(count, n)
         self.pos += count * n
         weights = (1 << np.arange(n - 1, -1, -1, dtype=np.int64))
         v = (chunk.astype(np.int64) * weights).sum(axis=1)
         return np.where(v >= (1 << (n - 1)), v - (1 << n), v)
 
     def read_unary(self) -> int:
-        i = self.pos
-        bits = self.bits
-        while not bits[i]:
-            i += 1
-        q = i - self.pos
-        self.pos = i + 1
-        return q
+        if self.bits is not None:
+            i = self.pos
+            bits = self.bits
+            while not bits[i]:
+                i += 1
+            q = i - self.pos
+            self.pos = i + 1
+            return q
+        q = 0
+        while True:
+            w = self._window(256)
+            if not len(w):
+                raise ValueError("bit stream exhausted in unary code")
+            nz = np.flatnonzero(w)
+            if len(nz):
+                self.pos += int(nz[0]) + 1
+                return q + int(nz[0])
+            q += len(w)
+            self.pos += len(w)
 
     def align(self) -> None:
         self.pos = (self.pos + 7) // 8 * 8
@@ -454,8 +509,14 @@ def decode_flac(data: bytes, verify_md5: bool = True
             break
     assert sr is not None, "missing STREAMINFO"
 
-    # One unpack of the whole stream, shared by every frame's bit reader.
-    allbits = np.unpackbits(np.frombuffer(data, np.uint8))
+    # With the native Rice decoder, readers unpack only their own small
+    # windows (headers/warmups) — no 8x whole-stream expansion. The pure-
+    # Python fallback reads per-sample, so there one shared unpack wins.
+    from demucs_tpu import native
+
+    _lib = native.get_lib()
+    allbits = (None if _lib is not None and hasattr(_lib, "flac_rice_decode")
+               else np.unpackbits(np.frombuffer(data, np.uint8)))
     decoded: tp.List[np.ndarray] = []  # per-frame (channels, bs) blocks
     w = 0
     # total == 0 is legal STREAMINFO for "unknown length" (streamed encodes):

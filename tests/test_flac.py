@@ -102,6 +102,31 @@ def test_save_audio_read_audio_flac(tmp_path):
         assert np.abs(got - wav / scale).max() < 1.6 / (1 << (bps - 1))
 
 
+def test_stereo_decorrelation_roundtrips_and_compresses():
+    """Per-frame L/R vs left-side vs mid-side selection: correlated stereo
+    picks a side-channel assignment (smaller file), decode is bit-exact."""
+    rng = np.random.default_rng(41)
+    t = np.arange(3 * 4096)
+    base = 0.5 * np.sin(2 * np.pi * 180 * t / 44100)
+    # near-identical channels: side channel is tiny
+    wav = np.stack([base + 2e-5 * rng.standard_normal(len(t)),
+                    base + 2e-5 * rng.standard_normal(len(t))])
+    x = _quant(wav, 16)
+    data = encode_flac(x, 44100, 16)
+    got, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(got, x)
+
+    # vs channels forced independent (mono-encode each channel separately)
+    indep = sum(len(encode_flac(x[c:c + 1], 44100, 16)) for c in range(2))
+    assert len(data) < 0.75 * indep, (len(data), indep)
+
+    # anti-correlated channels exercise a different assignment; still exact
+    wav2 = np.stack([base, -base])
+    x2 = _quant(wav2, 16)
+    got2, _, _ = decode_flac(encode_flac(x2, 44100, 16))
+    np.testing.assert_array_equal(got2, x2)
+
+
 def test_unknown_length_stream_decodes():
     """STREAMINFO total_samples == 0 ("unknown", legal for streamed encodes)
     must decode every frame present, not return empty audio."""
