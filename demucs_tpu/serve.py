@@ -207,15 +207,27 @@ def main(argv=None):
     parser.add_argument("--wire", default=None,
                         choices=[None, "float32", "float16", "int16", "int8"],
                         help="stems transfer dtype (default: bit-exact)")
+    parser.add_argument("--preset", default="default",
+                        choices=["default", "fast"],
+                        help="'fast' = bfloat16 compute + int8 wire (the "
+                        "CLI's --preset fast: ~47 dB SER / ~44 dB SNR vs "
+                        "the default path; explicit --wire still wins)")
     parser.add_argument("--warmup-seconds", type=float, default=None,
                         help="compile the engine on a silent track of this "
                         "length before accepting requests")
     args = parser.parse_args(argv)
 
+    compute_dtype = None
+    if args.preset == "fast":
+        compute_dtype = "bfloat16"
+        if args.wire is None:
+            args.wire = "int8"
+        print("preset fast: bfloat16 compute + int8 stems wire "
+              "(preview grade; see BENCHMARKS.md)", flush=True)
     service = SeparationService(
         model=args.name, repo=args.repo, shifts=args.shifts,
         overlap=args.overlap, segment=args.segment, engine=args.engine,
-        transfer_dtype=args.wire,
+        transfer_dtype=args.wire, compute_dtype=compute_dtype,
     )
     if args.warmup_seconds:
         sep = service.separator

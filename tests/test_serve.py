@@ -147,3 +147,14 @@ def test_http_round_trip(service, tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_service_fast_preset(local_repo):
+    """The serve-side fast preset re-configs the model's compute dtype (the
+    CLI --preset fast analog for long-lived servers)."""
+    from demucs_tpu.serve import SeparationService
+
+    repo, sig = local_repo
+    svc = SeparationService(model=sig, repo=repo, shifts=0, engine="host",
+                            compute_dtype="bfloat16")
+    assert svc.separator._model.cfg.compute_dtype == "bfloat16"
