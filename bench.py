@@ -46,12 +46,16 @@ def main():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--shifts", type=int, default=1)
     parser.add_argument("--overlap", type=float, default=0.25)
-    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    parser.add_argument("--transfer", default="float16",
+    parser.add_argument("--dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (default float32; "
+                        "--preset fast implies bfloat16)")
+    parser.add_argument("--transfer", default=None,
                         choices=["float32", "float16", "int16", "int8"],
                         help="wire format of the per-track stems fetch "
-                        "(float16 matches the CLI's default-quality path; "
-                        "the API default is bit-exact float32)")
+                        "(default float16, matching the CLI's default-quality "
+                        "path; --preset fast implies int8; the API default "
+                        "is bit-exact float32)")
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--tracks", type=int, default=4,
                         help="N>1: sustained multi-track throughput via the "
@@ -71,13 +75,15 @@ def main():
                         "(bfloat16 compute + int8 wire, preview grade "
                         "~44 dB SNR vs the default path)")
     args = parser.parse_args()
-    if args.preset == "fast":
-        # fill only flags the user did not pass — an explicit
-        # --dtype/--transfer wins over the preset (matches the CLI contract)
-        if "--dtype" not in sys.argv:
-            args.dtype = "bfloat16"
-        if "--transfer" not in sys.argv:
-            args.transfer = "int8"
+    # sentinel-None defaults: an explicitly passed --dtype/--transfer always
+    # wins over the preset (the shared contract in demucs_tpu/presets.py)
+    from demucs_tpu.presets import FAST_COMPUTE_DTYPE, FAST_WIRE
+
+    fast = args.preset == "fast"
+    if args.dtype is None:
+        args.dtype = FAST_COMPUTE_DTYPE if fast else "float32"
+    if args.transfer is None:
+        args.transfer = FAST_WIRE if fast else "float16"
 
     import jax
 

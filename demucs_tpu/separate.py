@@ -119,15 +119,11 @@ def main(opts=None):
         sys.exit(1)
 
     name = args.sig if getattr(args, "sig", None) else args.name
-    wire = args.wire
-    compute_dtype = None
-    if args.preset == "fast":
-        compute_dtype = "bfloat16"
-        if wire == "auto":
-            wire = "int8"
-        print("preset fast: bfloat16 compute + int8 stems wire — "
-              "~47 dB SER / ~44 dB SNR vs the default path "
-              "(preview grade; see BENCHMARKS.md)")
+    from demucs_tpu.presets import resolve_fast_preset
+
+    compute_dtype, wire, banner = resolve_fast_preset(args.preset, args.wire)
+    if banner:
+        print(banner)
     if wire == "auto":
         # 16-bit PCM wav output: the int16 wire (per-source peak-scaled, same
         # bytes as float16) keeps wire error below the output format's own

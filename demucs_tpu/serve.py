@@ -217,13 +217,11 @@ def main(argv=None):
                         "length before accepting requests")
     args = parser.parse_args(argv)
 
-    compute_dtype = None
-    if args.preset == "fast":
-        compute_dtype = "bfloat16"
-        if args.wire is None:
-            args.wire = "int8"
-        print("preset fast: bfloat16 compute + int8 stems wire "
-              "(preview grade; see BENCHMARKS.md)", flush=True)
+    from demucs_tpu.presets import resolve_fast_preset
+
+    compute_dtype, args.wire, banner = resolve_fast_preset(args.preset, args.wire)
+    if banner:
+        print(banner, flush=True)
     service = SeparationService(
         model=args.name, repo=args.repo, shifts=args.shifts,
         overlap=args.overlap, segment=args.segment, engine=args.engine,

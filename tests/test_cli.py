@@ -199,3 +199,16 @@ def test_fast_preset_casts_htdemucs_compute(monkeypatch):
         err = float(np.mean((stems16[name] - stems32[name]) ** 2))
         snr = 10 * np.log10(sig / max(err, 1e-20))
         assert snr > 25, (name, snr)
+
+
+def test_resolve_fast_preset_contract():
+    """Single source of truth for the fast preset: explicit wire wins and the
+    banner states the wire actually in effect."""
+    from demucs_tpu.presets import resolve_fast_preset
+
+    assert resolve_fast_preset("default", "auto") == (None, "auto", None)
+    dt, wire, banner = resolve_fast_preset("fast", "auto")
+    assert (dt, wire) == ("bfloat16", "int8") and "int8" in banner
+    dt, wire, banner = resolve_fast_preset("fast", "float32")
+    assert (dt, wire) == ("bfloat16", "float32")
+    assert "float32 stems wire" in banner and "override" in banner
