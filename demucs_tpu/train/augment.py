@@ -45,11 +45,15 @@ def shift_aug(rng: jax.Array, wav: jax.Array, shift: int, same: bool,
     if not train:
         return wav[..., :length]
     srcs = 1 if same else S
-    offsets = jax.random.randint(rng, (B, srcs, 1, 1), 0, shift)
-    offsets = jnp.broadcast_to(offsets, (B, S, C, 1))
-    indexes = jnp.arange(length)
-    gather_idx = indexes + offsets  # (B, S, C, length)
-    return jnp.take_along_axis(wav, gather_idx, axis=3)
+    offsets = jax.random.randint(rng, (B, srcs, 1, 1), 0, shift)[:, :, 0, 0]
+    offsets = jnp.broadcast_to(offsets, (B, S))
+    # Per-(batch, source) contiguous window: vmapped dynamic_slice lowers to
+    # cheap offset arithmetic on TPU where an equivalent full-size
+    # take_along_axis gather costs ~2x the model forward (the same pathology
+    # tools/probe_ola.py measured in the inference overlap-add).
+    slice_one = lambda w, off: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+        w, off, length, axis=-1)
+    return jax.vmap(jax.vmap(slice_one))(wav, offsets)
 
 
 def flip_channels_aug(rng: jax.Array, wav: jax.Array, train: bool = True) -> jax.Array:
@@ -58,12 +62,8 @@ def flip_channels_aug(rng: jax.Array, wav: jax.Array, train: bool = True) -> jax
     if not train or C != 2:
         return wav
     left = jax.random.randint(rng, (B, S, 1, 1), 0, 2)
-    left = jnp.broadcast_to(left, (B, S, 1, T))
-    right = 1 - left
-    return jnp.concatenate(
-        [jnp.take_along_axis(wav, left, axis=2), jnp.take_along_axis(wav, right, axis=2)],
-        axis=2,
-    )
+    # elementwise select of the channel-reversed view — no gather
+    return jnp.where(left == 1, wav[:, :, ::-1, :], wav)
 
 
 def flip_sign_aug(rng: jax.Array, wav: jax.Array, train: bool = True) -> jax.Array:
@@ -107,9 +107,15 @@ def remix_aug(rng: jax.Array, wav: jax.Array, proba: float, group_size: int,
     groups = B // group_size
     k1, k2 = jax.random.split(rng)
     wavg = wav.reshape(groups, group_size, S, C, T)
-    perm = jnp.argsort(jax.random.uniform(k1, (groups, group_size, S, 1, 1)), axis=1)
-    perm = jnp.broadcast_to(perm, (groups, group_size, S, C, T))
-    shuffled = jnp.take_along_axis(wavg, perm, axis=1).reshape(B, S, C, T)
+    perm = jnp.argsort(jax.random.uniform(k1, (groups, group_size, S, 1, 1)),
+                       axis=1)[..., 0, 0]  # (groups, group_size, S)
+    # Exact selection as a masked sum over the tiny group axis (exactly one
+    # term is nonzero per output) — streams group_size x the array instead of
+    # an arbitrary full-size gather, which is the faster trade on TPU.
+    shuffled = sum(
+        jnp.where((perm == j)[:, :, :, None, None], wavg[:, j][:, None], 0.0)
+        for j in range(group_size)
+    ).reshape(B, S, C, T)
     apply = jax.random.uniform(k2, ()) < proba
     return jnp.where(apply, shuffled, wav)
 
