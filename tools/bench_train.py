@@ -77,13 +77,21 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
     audio_s = B * args.segment
-    print(json.dumps({
+    record = {
         "metric": "train_audio_seconds_per_s",
         "value": round(audio_s / dt, 3),
         "unit": "audio_s/s",
         "step_ms": round(dt * 1000, 1),
         "remat": args.remat,
-    }))
+    }
+    try:  # peak HBM (reference tools/bench.py:26-43 reports peak memory)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            record["peak_hbm_gb"] = round(peak / 2**30, 2)
+    except Exception:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
