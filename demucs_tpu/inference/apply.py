@@ -185,12 +185,14 @@ def apply_model(
     ("float16"/"int16"/"int8", all well below PCM16 error) are opt-in, as in
     the CLI's ``--wire auto``.
 
-    Non-HT kinds (hdemucs/demucs) are supported by the device engine as an
-    explicit opt-in (``engine="device"``): every chunk runs at the uniform
-    ``valid_length(segment_length)`` target, so trailing partial chunks see
-    slightly more real context than the reference's per-tail-length padding
-    (apply.py:302-309). Full chunks are numerically identical, which is why
-    "auto" stays HTDemucs-only.
+    All three kinds run bit-exactly on the device engine: uniform-target
+    models (HTDemucs with ``use_train_segment`` or an explicit ``segment``)
+    as one program per (model, shift); length-dependent-target kinds
+    (demucs v2's ``valid_length``, hdemucs, htdemucs without train segment —
+    reference apply.py:302-309) additionally re-run each ragged tail chunk
+    at its exact per-length leaf target (one small extra executable per
+    distinct tail target — the same compile granularity the host engine
+    pays for its tail-target batch groups).
     """
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -205,19 +207,9 @@ def apply_model(
             and mix_arr.ndim == 3
             and mix_arr.shape[0] == 1
         )
-        # Auto-selection requires exact reference numerics: HTDemucs with
-        # use_train_segment pads every chunk to its trained segment so the
-        # uniform device-side target is identical; other kinds — and
-        # htdemucs with use_train_segment=False, whose leaf target is the
-        # chunk's natural length — deviate on tail chunks (see docstring).
-        models_list = (model.models if isinstance(model, BagOfModels)
-                       else [model])
-        eligible = base_ok and all(
-            m.kind == "htdemucs" and m.uses_train_segment
-            for m in models_list)
         device_ok = base_ok and all(
             k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
-        if engine == "device" or (eligible and _accelerator_backend()):
+        if engine == "device" or (device_ok and _accelerator_backend()):
             if not device_ok:
                 raise ValueError(
                     "engine='device' requires split mode, a single (1, C, L) "
@@ -405,12 +397,9 @@ def apply_model_tracks(
     """
     kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
              else [model.kind])
-    models_list = (model.models if isinstance(model, BagOfModels) else [model])
-    auto_ok = split and all(
-        m.kind == "htdemucs" and m.uses_train_segment for m in models_list)
     device_ok = split and all(k in ("htdemucs", "hdemucs", "demucs") for k in kinds)
     use_device = engine == "device" or (
-        engine == "auto" and auto_ok and _accelerator_backend())
+        engine == "auto" and device_ok and _accelerator_backend())
 
     def _checked(items):
         for mix in items:

@@ -45,10 +45,37 @@ from demucs_tpu.inference.apply import _triangle_weight as _triangle_weight_np  
 _STACKED_PARAMS_CACHE: dict = {}
 
 
+def _segment_grid(length: int, max_shift: int, stride: int, batch_size: int,
+                  shard_size: int = 1) -> tp.Tuple[int, int, int]:
+    """Segment grid sized for the largest possible shifted view
+    (``length + max_shift`` samples); shorter views mask out tail segments.
+    Right-sizes the per-map batch so padding slots (wasted forwards) are
+    minimal: e.g. 11 segments at batch 8 would run 16 slots; batch 6 runs 12.
+    Returns ``(batch_size, n_batches, n_pad)``."""
+    max_view = length + max_shift
+    n_segments = int(math.ceil(max_view / stride))
+    per = int(math.ceil(n_segments / shard_size))
+    n_batches = int(math.ceil(per / batch_size))
+    batch_size = int(math.ceil(per / n_batches))
+    per = n_batches * batch_size
+    return batch_size, n_batches, per * shard_size
+
+
+def _exact_obuf_len(length: int, max_shift: int, segment_length: int,
+                    target: int, stride: int, batch_size: int) -> int:
+    """Length of the unnormalized accumulation buffers shared by the
+    exact-tails pass, tail and norm programs (must agree exactly)."""
+    _, _, n_pad = _segment_grid(length, max_shift, stride, batch_size)
+    K = -(-target // stride)
+    ng = -(-n_pad // K)
+    return target + max_shift + (K - 1) * stride + ng * K * stride + target
+
+
 def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length: int,
                     target: int, stride: int, batch_size: int, transition_power: float,
                     n_sources: int, audio_channels: int, mesh=None,
-                    shard_axis: tp.Optional[str] = None, shard_size: int = 1):
+                    shard_axis: tp.Optional[str] = None, shard_size: int = 1,
+                    exact_tails: bool = False):
     """Unjitted (model, shift)-pass over a track of static ``length``.
 
     Dynamic inputs: params, padded track buffer, shift offset, accumulator and
@@ -59,26 +86,101 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
     contiguous slice, outputs reassembled with one tiled all_gather so the
     overlap-add runs in the exact sequential order — bit-identical results).
     Used by the bag fan-out when a member's device group has several chips.
+
+    ``exact_tails``: for kinds whose leaf padding target depends on the chunk
+    length (demucs v2's ``valid_length``, hdemucs / htdemucs without
+    ``use_train_segment`` — reference apply.py:302-309), the uniform-target
+    pass cannot reproduce ragged tail chunks bit-exactly. In this mode the
+    pass contributes FULL windows only (their target/trim are compile-time
+    constants) and returns the UNNORMALIZED ``(out_buf, wsum_buf)``; the
+    tail chunks are re-run at their exact reference targets by
+    ``_build_tail_fn`` programs and folded in before ``_build_norm_fn``
+    divides — together bit-identical to the host engine for every chunk.
     """
     from demucs_tpu.train.solver import model_forward_fn
 
     forward = model_forward_fn(kind)
 
-    # Segment grid sized for the largest possible shifted view
-    # (length + max_shift samples); shorter views mask out the tail segments.
-    max_view = length + max_shift
-    n_segments = int(math.ceil(max_view / stride))
-    per = int(math.ceil(n_segments / shard_size))
-    n_batches = int(math.ceil(per / batch_size))
-    # Right-size the per-map batch so padding slots (wasted forwards) are
-    # minimal: e.g. 11 segments at batch 8 would run 16 slots; batch 6 runs 12.
-    batch_size = int(math.ceil(per / n_batches))
-    per = n_batches * batch_size
-    n_pad = per * shard_size
+    batch_size, n_batches, n_pad = _segment_grid(
+        length, max_shift, stride, batch_size, shard_size)
     margin = target  # slack so every centered window stays in bounds
 
     weight_np = _triangle_weight_np(segment_length, transition_power)
     buf_len = margin + max_shift + length + max_shift + margin
+
+    def full_only_fn(params, track_buf, shift_offset):
+        """exact_tails mode: unnormalized full-window contributions.
+
+        Every segment whose window is complete (``chunk_len ==
+        segment_length``) uses the static head path; ragged tails are masked
+        to zero here and handled by the per-tail programs. Returns
+        ``(out_buf (S, C, obuf_len), wsum_buf (obuf_len,))`` in padded buffer
+        coordinates (track sample 0 at ``margin + max_shift``).
+        """
+        view_length = length + max_shift - shift_offset
+        o = jnp.arange(n_pad, dtype=jnp.int32) * stride
+        trim_full = (target - segment_length) // 2
+        start_buf = margin + shift_offset + o - trim_full
+
+        def extract(s):
+            return jax.lax.dynamic_slice(track_buf, (0, s), (audio_channels, target))
+
+        segments = jax.vmap(extract)(start_buf)
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            segs = jax.lax.with_sharding_constraint(
+                segments, NamedSharding(mesh, P("dp")))
+            outs = forward(params, segs, cfg)
+            outs = jax.lax.with_sharding_constraint(
+                outs, NamedSharding(mesh, P()))
+        else:
+            outs = jax.lax.map(
+                lambda seg: forward(params, seg, cfg),
+                segments.reshape(n_batches, batch_size, audio_channels, target),
+            )
+        outs = outs.reshape(n_pad, n_sources, audio_channels, target)
+
+        w_pad = np.zeros(target, np.float32)
+        w_pad[trim_full:trim_full + segment_length] = weight_np
+        head_w_rolled = jnp.asarray(np.roll(w_pad, -trim_full))
+
+        full = (o + segment_length <= view_length).astype(jnp.float32)
+        contrib = jnp.roll(outs, -trim_full, axis=-1) * head_w_rolled
+        contrib = contrib * full[:, None, None, None]
+        wroll = head_w_rolled[None, :] * full[:, None]
+
+        K = -(-target // stride)
+        P_ = K * stride
+        ng = -(-n_pad // K)
+        contrib = jnp.pad(contrib, [(0, ng * K - n_pad), (0, 0), (0, 0),
+                                    (0, P_ - target)])
+        wroll = jnp.pad(wroll, [(0, ng * K - n_pad), (0, P_ - target)])
+
+        # + target slack on the right: tail programs update a full
+        # ``target_tail``-wide (mask-padded) window at dynamic positions up
+        # to the view end — the slack keeps dynamic_update_slice unclamped.
+        obuf_len = margin + max_shift + (K - 1) * stride + ng * P_ + target
+        base = margin + shift_offset
+        out_buf = jnp.zeros((n_sources, audio_channels, obuf_len), jnp.float32)
+        wsum_buf = jnp.zeros((obuf_len,), jnp.float32)
+        for g in range(K):
+            start = base + g * stride
+            strip = (contrib[g::K].transpose(1, 2, 0, 3)
+                     .reshape(n_sources, audio_channels, ng * P_))
+            cur = jax.lax.dynamic_slice(
+                out_buf, (0, 0, start), (n_sources, audio_channels, ng * P_))
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, cur + strip, (0, 0, start))
+            wstrip = wroll[g::K].reshape(ng * P_)
+            wcur = jax.lax.dynamic_slice(wsum_buf, (start,), (ng * P_,))
+            wsum_buf = jax.lax.dynamic_update_slice(
+                wsum_buf, wcur + wstrip, (start,))
+        return out_buf, wsum_buf
+
+    if exact_tails:
+        assert shard_axis is None, "exact_tails is not used under fan-out"
+        return full_only_fn
 
     def pass_fn(params, track_buf, shift_offset, accum, scale):
         """track_buf: (C, buf_len) — [margin | max_shift zeros | track |
@@ -234,6 +336,75 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
 @functools.lru_cache(maxsize=32)
 def _build_pass_fn(*args):
     return jax.jit(_make_pass_body(*args), donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_full_fn(*args):
+    """Exact-tails full-window pass: (params, track_buf, offset) ->
+    (out_buf, wsum_buf), unnormalized."""
+    return jax.jit(_make_pass_body(*args, exact_tails=True))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_tail_fn(kind: str, cfg, tail_target: int, segment_length: int,
+                   transition_power: float, n_sources: int,
+                   audio_channels: int, obuf_len: int):
+    """One ragged tail chunk at its EXACT reference leaf target.
+
+    The window (host-built with the same ``Chunk.padded`` arithmetic as the
+    host engine — apply.py:108-124 / 302-322) runs the forward at the static
+    ``tail_target`` shape; position and chunk length stay dynamic so one
+    executable serves every shift offset that maps to this target (for
+    demucs v2, ``valid_length`` quantizes many tail lengths onto one target;
+    for hdemucs the target IS the tail length). Updates the exact-tails
+    pass's unnormalized buffers in place (donated).
+    """
+    from demucs_tpu.train.solver import model_forward_fn
+
+    forward = model_forward_fn(kind)
+    weight_np = _triangle_weight_np(segment_length, transition_power)
+    w_pad = np.zeros(tail_target, np.float32)
+    w_pad[:min(segment_length, tail_target)] = \
+        weight_np[:min(segment_length, tail_target)]
+
+    def tail_fn(params, window, out_buf, wsum_buf, pos, chunk_len):
+        """window: (C, tail_target). pos: int32 buffer coord of the chunk
+        START (margin + shift_offset + o_i). chunk_len: int32 <= segment."""
+        out = forward(params, window[None], cfg)[0]  # (S, C, tail_target)
+        trim = (tail_target - chunk_len) // 2  # center_trim left cut
+        # Roll the output LEFT by trim so sample j is the j-th TRIMMED
+        # sample; weight-mask to the chunk length (weights beyond are 0).
+        out2 = jnp.concatenate([out, out], axis=-1)
+        rolled = jax.lax.dynamic_slice(
+            out2, (0, 0, trim), (n_sources, audio_channels, tail_target))
+        j = jnp.arange(tail_target, dtype=jnp.int32)
+        wvec = jnp.where(j < chunk_len, jnp.asarray(w_pad), 0.0)
+        contrib = rolled * wvec
+        cur = jax.lax.dynamic_slice(
+            out_buf, (0, 0, pos), (n_sources, audio_channels, tail_target))
+        out_buf = jax.lax.dynamic_update_slice(out_buf, cur + contrib,
+                                               (0, 0, pos))
+        wcur = jax.lax.dynamic_slice(wsum_buf, (pos,), (tail_target,))
+        wsum_buf = jax.lax.dynamic_update_slice(wsum_buf, wcur + wvec, (pos,))
+        return out_buf, wsum_buf
+
+    return jax.jit(tail_fn, donate_argnums=(2, 3))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_norm_fn(length: int, n_sources: int, audio_channels: int,
+                   margin: int, max_shift: int):
+    """Per-pass normalization for exact-tails mode: divide by the true
+    weight sum (see the uniform pass's note on why there is no epsilon
+    floor) and accumulate the scaled result."""
+
+    def norm_fn(out_buf, wsum_buf, accum, scale):
+        lo = margin + max_shift
+        res = (out_buf[..., lo:lo + length]
+               / wsum_buf[lo:lo + length])
+        return accum + scale[:, None, None] * res
+
+    return jax.jit(norm_fn, donate_argnums=(2,))
 
 
 @functools.lru_cache(maxsize=8)
@@ -393,6 +564,73 @@ def _upload_track(wire: np.ndarray, C: int, L: int, margin: int,
     return prep(*devs)
 
 
+def pass_memory_analysis(
+    model: tp.Union[Model, BagOfModels],
+    length: int,
+    *,
+    shifts: int = 1,
+    overlap: float = 0.25,
+    transition_power: float = 1.0,
+    segment: tp.Optional[float] = None,
+    batch_size: int = 16,
+    mesh=None,
+) -> tp.Optional[dict]:
+    """Compile-time HBM footprint of the main pass executable (GiB fields).
+
+    The reference bench reports runtime peak device memory
+    (``tools/bench.py:26-43``); on deployments whose runtime returns no
+    ``memory_stats()`` (the relay-attached TPU here) this reports XLA's
+    compile-time buffer assignment for the dominant executable instead:
+    argument/output/temp bytes and their aliasing discount. ``peak_estimate``
+    = args + outputs + temps - aliased (donated accumulators alias their
+    output). Returns None when the backend exposes no memory analysis.
+    """
+    sub = (model.models[0] if isinstance(model, BagOfModels) else model)
+    sr = sub.samplerate
+    C = sub.audio_channels
+    S = len(sub.sources)
+    max_shift = int(0.5 * sr) if shifts else 0
+    seg_f = segment if segment is not None else sub.segment
+    segment_length = int(sr * seg_f)
+    stride = int((1 - overlap) * segment_length)
+    target = sub.leaf_target(segment_length, segment)
+    if mesh is not None:
+        batch_size = mesh.devices.size
+    fn = _build_pass_fn(sub.kind, sub.cfg, length, max_shift, segment_length,
+                        target, stride, batch_size, transition_power, S, C,
+                        mesh)
+    margin = target
+    buf_len = margin + max_shift + length + max_shift + margin
+    sds = jax.ShapeDtypeStruct
+    params_s = jax.tree.map(lambda a: sds(jnp.shape(a), a.dtype), sub.params)
+    try:
+        mem = fn.lower(
+            params_s,
+            sds((C, buf_len), jnp.float32),
+            sds((), jnp.int32),
+            sds((S, C, length), jnp.float32),
+            sds((S,), jnp.float32),
+        ).compile().memory_analysis()
+        if mem is None:
+            return None
+        arg = int(mem.argument_size_in_bytes)
+        out = int(mem.output_size_in_bytes)
+        tmp = int(mem.temp_size_in_bytes)
+        ali = int(mem.alias_size_in_bytes)
+        code = int(mem.generated_code_size_in_bytes)
+    except Exception:
+        return None
+    gib = float(2**30)
+    return {
+        "argument_gb": round(arg / gib, 3),
+        "output_gb": round(out / gib, 3),
+        "temp_gb": round(tmp / gib, 3),
+        "alias_gb": round(ali / gib, 3),
+        "peak_estimate_gb": round((arg + out + tmp - ali) / gib, 3),
+        "generated_code_mb": round(code / 2**20, 2),
+    }
+
+
 def device_apply_model(
     model: tp.Union[Model, BagOfModels],
     mix: np.ndarray,
@@ -402,10 +640,13 @@ def device_apply_model(
 ) -> np.ndarray:
     """Separate ``mix (1, C, L)`` fully on device -> ``(1, S, C, L)`` float32.
 
-    Matches ``apply_model(split=True)`` numerics bit-exactly by default; the
-    only approximation is the OPT-IN reduced-precision wire format for the
-    single final fetch (``transfer_dtype``), which is well below stem PCM
-    quantization.
+    Matches ``apply_model(split=True)`` numerics bit-exactly by default for
+    ALL kinds — including ragged tail chunks of length-dependent-target
+    models (demucs v2 / hdemucs / htdemucs without train segment), which run
+    at their exact reference leaf targets (see ``_make_pass_body``'s
+    ``exact_tails``). The only approximation is the OPT-IN reduced-precision
+    wire format for the single final fetch (``transfer_dtype``), which is
+    well below stem PCM quantization.
     """
     pending = _dispatch_track(model, mix, transfer_dtype=transfer_dtype, **kw)
     return _gather_stems(*pending)
@@ -542,6 +783,11 @@ def _dispatch_track(
         and len(models) > 1
         and all(m.kind == first.kind and m.cfg == first.cfg for m in models)
         and mesh.devices.size % len(models) == 0
+        # fan-out runs the uniform-target pass only; length-dependent-target
+        # kinds (exact ragged tails) take the sequential path below, which
+        # still shards each member's segment forwards over the dp mesh
+        and first.kind == "htdemucs"
+        and (first.uses_train_segment or segment is not None)
     )
     if prestaged and (fan_out or length_bucket_seconds or mesh is not None):
         raise ValueError(
@@ -574,11 +820,19 @@ def _dispatch_track(
 
         iterator = tqdm.tqdm(iterator, ncols=120, unit="model")
 
+    padded_mix_np = None  # host copy for exact-tail windows, built lazily
+
     for sub_model, model_weights in iterator:
         seg_f = segment if segment is not None else sub_model.segment
         segment_length = int(samplerate * seg_f)
         stride = int((1 - overlap) * segment_length)
         target = sub_model.leaf_target(segment_length, segment)
+        # Kinds whose leaf target is the same for every chunk run as ONE
+        # program per (model, shift); length-dependent-target kinds
+        # (apply.py:302-309) additionally run each ragged tail chunk at its
+        # exact reference target (bit-exact tails — see _make_pass_body).
+        uniform = sub_model.kind == "htdemucs" and (
+            sub_model.uses_train_segment or segment is not None)
 
         key = (segment_length, target)
         if key not in track_dev:
@@ -591,12 +845,28 @@ def _dispatch_track(
         if mesh is not None:
             # segment grid must divide evenly across devices
             batch_size = mesh.devices.size
-        pass_fn = _build_pass_fn(
-            sub_model.kind, sub_model.cfg, L, max_shift, segment_length, target,
-            stride, batch_size, transition_power, n_sources, C, mesh,
-        )
         if accum is None:
             accum = jnp.zeros((n_sources, C, L), jnp.float32)
+
+        if uniform:
+            pass_fn = _build_pass_fn(
+                sub_model.kind, sub_model.cfg, L, max_shift, segment_length,
+                target, stride, batch_size, transition_power, n_sources, C,
+                mesh,
+            )
+        else:
+            full_fn = _build_full_fn(
+                sub_model.kind, sub_model.cfg, L, max_shift, segment_length,
+                target, stride, batch_size, transition_power, n_sources, C,
+                mesh,
+            )
+            obuf_len = _exact_obuf_len(L, max_shift, segment_length, target,
+                                       stride, batch_size)
+            norm_fn = _build_norm_fn(L, n_sources, C, target, max_shift)
+            if padded_mix_np is None:
+                padded_mix_np = np.pad(
+                    mix.astype(np.float32, copy=False),
+                    [(0, 0), (0, 0), (max_shift, max_shift)])
 
         n_shift_passes = max(1, shifts)
         for _ in range(n_shift_passes):
@@ -608,8 +878,32 @@ def _dispatch_track(
             # shifts >= 3); multi-model bags still differ at the ulp level
             # (summation association).
             scale = jnp.asarray(model_weights, jnp.float32)
-            accum = pass_fn(sub_model.params, track_dev[key],
-                            jnp.int32(offset), accum, scale)
+            if uniform:
+                accum = pass_fn(sub_model.params, track_dev[key],
+                                jnp.int32(offset), accum, scale)
+                continue
+            out_buf, wsum_buf = full_fn(sub_model.params, track_dev[key],
+                                        jnp.int32(offset))
+            # Ragged tails (host knows the offset it just drew): the same
+            # chunk/window arithmetic as the host engine, forwarded at the
+            # exact per-length leaf target on device.
+            from demucs_tpu.inference.apply import Chunk
+
+            view_length = L + max_shift - offset
+            for o in range(0, view_length, stride):
+                chunk_len = min(view_length - o, segment_length)
+                if chunk_len >= segment_length:
+                    continue
+                tail_target = sub_model.leaf_target(chunk_len, segment)
+                chunk = Chunk(padded_mix_np, offset + o, chunk_len)
+                window = jnp.asarray(chunk.padded(tail_target)[0])
+                tail_fn = _build_tail_fn(
+                    sub_model.kind, sub_model.cfg, tail_target,
+                    segment_length, transition_power, n_sources, C, obuf_len)
+                out_buf, wsum_buf = tail_fn(
+                    sub_model.params, window, out_buf, wsum_buf,
+                    jnp.int32(target + offset + o), jnp.int32(chunk_len))
+            accum = norm_fn(out_buf, wsum_buf, accum, scale)
         totals += np.asarray(model_weights, np.float64) * n_shift_passes
 
     return _dispatch_final(accum, totals, transfer_dtype, n_sources, C, L,

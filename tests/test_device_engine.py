@@ -52,14 +52,14 @@ def test_high_transition_power_edge_samples(model):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-def test_auto_engine_requires_train_segment(model, monkeypatch):
+def test_auto_engine_exact_tails_no_train_segment(model, monkeypatch):
     """HTDemucs with use_train_segment=False pads leaf chunks to their
-    natural length (host semantics) — engine='auto' must NOT route it to
-    the device engine's uniform-target pass even on an accelerator."""
+    natural length (host semantics); since the exact-tails mode, engine=
+    'auto' routes it to the device engine on accelerators and matches the
+    host engine on every chunk, including the ragged tail."""
     import dataclasses
 
     from demucs_tpu.inference import apply as apply_mod
-    from demucs_tpu.models import htdemucs as jht
 
     cfg2 = dataclasses.replace(model.cfg, use_train_segment=False)
     m2 = Model("htdemucs", cfg2, model.params)
@@ -68,10 +68,11 @@ def test_auto_engine_requires_train_segment(model, monkeypatch):
 
     monkeypatch.setattr(apply_mod, "_accelerator_backend", lambda: True)
     want = apply_model(m2, mix, shifts=0, split=True, engine="host")
-    got = apply_model(m2, mix, shifts=0, split=True, engine="auto")
-    np.testing.assert_array_equal(got, want)
-    # sanity: a train-segment model under the same monkeypatch does route
-    # to the device engine and still matches
+    got = apply_model(m2, mix, shifts=0, split=True, engine="auto",
+                      transfer_dtype=None)
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+    # a train-segment model under the same monkeypatch routes to the
+    # uniform-target pass and still matches
     got_ts = apply_model(model, mix, shifts=0, split=True, engine="auto",
                          transfer_dtype=None)
     want_ts = apply_model(model, mix, shifts=0, split=True, engine="host")
@@ -185,12 +186,7 @@ def test_short_track_single_segment(model):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("kind", ["hdemucs", "demucs"])
-def test_device_engine_non_ht_optin(kind):
-    """hdemucs/demucs via the device engine (explicit opt-in): full chunks are
-    numerically identical to the host engine; only trailing partial chunks
-    deviate (uniform valid_length(segment) target gives them more real
-    context — documented in apply_model)."""
+def _non_ht_model(kind):
     from common import SOURCES
 
     if kind == "hdemucs":
@@ -204,16 +200,24 @@ def test_device_engine_non_ht_optin(kind):
         cfg = m.DemucsConfig(sources=tuple(SOURCES), channels=4, depth=3,
                              samplerate=8000)
         params = m.init_demucs(cfg, seed=11)
-    mdl = Model(kind, cfg, params)
+    return Model(kind, cfg, params)
+
+
+@pytest.mark.parametrize("kind", ["hdemucs", "demucs"])
+def test_device_engine_non_ht_exact_tails(kind):
+    """hdemucs/demucs on the device engine: bit-exact vs the host engine on
+    EVERY chunk. The ragged tail chunks run at their exact per-length leaf
+    targets (valid_length for v2, natural length for hdemucs —
+    reference apply.py:302-309) via the exact-tails programs."""
+    mdl = _non_ht_model(kind)
+    cfg = mdl.cfg
 
     segment = 0.4
     segment_length = int(segment * cfg.samplerate)
     stride = int(0.75 * segment_length)
     L = int(1.8 * segment_length)
-    offsets = list(range(0, L, stride))
-    partials = [o for o in offsets if L - o < segment_length]
-    assert partials, "test must exercise the tail-chunk deviation path"
-    clean = min(partials)
+    partials = [o for o in range(0, L, stride) if L - o < segment_length]
+    assert partials, "test must exercise the ragged-tail path"
 
     mix = random_mix((1, 2, L), seed=40)
     want = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
@@ -221,17 +225,31 @@ def test_device_engine_non_ht_optin(kind):
     got = device_apply_model(mdl, mix, shifts=0, overlap=0.25, segment=segment,
                              transfer_dtype=None, input_transfer_dtype=None)
     assert got.shape == want.shape
-    # Region covered only by full chunks: bit-for-bit (float32) parity.
-    np.testing.assert_allclose(got[..., :clean], want[..., :clean],
-                               atol=2e-5, rtol=1e-4)
-    # Tail region: same overlap-add weights, slightly different chunk context.
-    scale = max(np.abs(want).max(), 1e-3)
-    assert np.abs(got - want).max() < 0.35 * scale
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
 
     # And through the public apply_model opt-in (fp16 wire defaults).
+    scale = max(np.abs(want).max(), 1e-3)
     via_apply = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
                             segment=segment, engine="device")
     assert np.abs(via_apply - got).max() < 3e-3 * scale
+
+
+@pytest.mark.parametrize("kind", ["hdemucs", "demucs"])
+def test_device_engine_non_ht_exact_tails_shifts(kind):
+    """Shift trick + ragged tails: the tail chunk lengths depend on the
+    runtime shift offset; each still runs at its exact reference target
+    (pinned offsets, host vs device bit-level parity)."""
+    mdl = _non_ht_model(kind)
+    segment = 0.4
+    L = int(1.8 * segment * mdl.samplerate)
+    mix = random_mix((1, 2, L), seed=41)
+    offsets = [777, 2025]
+    want = apply_model(mdl, mix, shifts=2, split=True, overlap=0.25,
+                       segment=segment, engine="host", rng=_FixedOffsets(offsets))
+    got = device_apply_model(mdl, mix, shifts=2, overlap=0.25, segment=segment,
+                             transfer_dtype=None, input_transfer_dtype=None,
+                             rng=_FixedOffsets(offsets))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
 
 
 def test_pipelined_tracks_match_single(model):
