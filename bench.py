@@ -265,6 +265,18 @@ def main():
             record["peak_hbm_gb"] = round(peak / 2**30, 2)
     except Exception:
         pass
+    # Compile-time buffer assignment of the dominant (pass) executable —
+    # the HBM number that works even where the runtime returns no
+    # memory_stats() (this relay). Same flags as the timed path.
+    from demucs_tpu.inference.engine import pass_memory_analysis
+    from demucs_tpu.parallel.sharded import auto_mesh
+
+    mem = pass_memory_analysis(
+        model, L, shifts=args.shifts, overlap=args.overlap,
+        batch_size=args.batch_size, mesh=auto_mesh())
+    if mem is not None:
+        record["hbm_compiletime_gb"] = mem["peak_estimate_gb"]
+        record["hbm_compiletime"] = mem
     record["warmup_s"] = warm_phases
     print(json.dumps(record))
 
