@@ -103,10 +103,25 @@ class HTDemucsConfig:
     use_train_segment: bool = True
     # Fused Pallas attention kernel for the transformer (numerics-equivalent).
     t_flash_attn: bool = False
-    # Compute dtype policy: "float32" (exact parity) or "bfloat16" (MXU-native
-    # activations/weights with fp32 accumulation; STFT/iSTFT, normalization
-    # statistics and softmax stay fp32).
+    # Compute dtype policy:
+    #   "float32"  — exact parity (default).
+    #   "bfloat16" — MXU-native bf16 activations/weights in every core stage
+    #     (fp32 accumulation; STFT/iSTFT, normalization statistics and
+    #     softmax stay fp32). Fastest; output-limited to ~bf16 resolution
+    #     (~47 dB SER) because the core's activations are stored rounded.
+    #   "mixed"    — fp32 activations/weights with the 3-pass bf16 MXU
+    #     algorithm (BF16_BF16_F32_X3) for every conv/matmul: near-fp32
+    #     output (>=90 dB SER, tools/precision_sweep.py) at a fraction of
+    #     the 6-pass fp32 MXU cost.
     compute_dtype: str = "float32"
+    # Explicit per-stage bf16 set ("encoder"/"tencoder"/"transformer"/
+    # "decoder"/"tdecoder") — overrides compute_dtype's stage policy when
+    # non-empty (sensitivity sweeps, custom deployments).
+    bf16_stages: tp.Tuple[str, ...] = ()
+    # Explicit jax matmul precision / dot algorithm for the core's convs and
+    # matmuls (e.g. "bfloat16", "BF16_BF16_F32_X3", "highest"); None = the
+    # compute_dtype policy ("mixed" implies BF16_BF16_F32_X3).
+    matmul_precision: tp.Optional[str] = None
 
     @property
     def hop_length(self) -> int:
@@ -182,6 +197,40 @@ def transformer_spec(cfg: HTDemucsConfig) -> TransformerSpec:
     )
 
 
+_STAGES = ("encoder", "tencoder", "transformer", "decoder", "tdecoder")
+
+
+def _bf16_stage_set(cfg: HTDemucsConfig) -> frozenset:
+    """Which core stages run with bf16 activations/weights."""
+    if cfg.bf16_stages:
+        unknown = set(cfg.bf16_stages) - set(_STAGES)
+        if unknown:
+            raise ValueError(f"unknown bf16_stages {sorted(unknown)}")
+        return frozenset(cfg.bf16_stages)
+    if cfg.compute_dtype == "bfloat16":
+        return frozenset(_STAGES)
+    if cfg.compute_dtype in ("float32", "mixed"):
+        return frozenset()
+    raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r}")
+
+
+def _matmul_precision(cfg: HTDemucsConfig) -> tp.Optional[str]:
+    if cfg.matmul_precision:
+        return cfg.matmul_precision
+    if cfg.compute_dtype == "mixed":
+        return "BF16_BF16_F32_X3"
+    return None
+
+
+def _precision_scope(cfg: HTDemucsConfig):
+    """Context manager applying the core's matmul precision policy (traced
+    ops inherit it); DSP (STFT/iSTFT/Wiener) runs outside the scope."""
+    import contextlib
+
+    p = _matmul_precision(cfg)
+    return jax.default_matmul_precision(p) if p else contextlib.nullcontext()
+
+
 def _core(
     params: dict,
     cfg: HTDemucsConfig,
@@ -213,13 +262,17 @@ def _core(
     stdt = onn.std_unbiased(xt, axis=(1, 2))
     xt = (xt - meant) / (1e-5 + stdt)
 
-    dt = jnp.dtype(cfg.compute_dtype)
-    if dt != jnp.float32:
-        params = jax.tree.map(
-            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params
-        )
-        x = x.astype(dt)
-        xt = xt.astype(dt)
+    bf16 = _bf16_stage_set(cfg)
+
+    def stage_cast(name: str, a: jax.Array) -> jax.Array:
+        return a.astype(jnp.bfloat16 if name in bf16 else jnp.float32)
+
+    def stage_params(name: str, p):
+        if name not in bf16:
+            return p
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            p)
 
     saved, saved_t, lengths, lengths_t = [], [], [], []
     for idx, spec_l in enumerate(lay.enc):
@@ -228,56 +281,70 @@ def _core(
         if idx < len(lay.tenc):
             lengths_t.append(xt.shape[-1])
             tspec = lay.tenc[idx]
-            xt = hl.henc_forward(params["tencoder"][idx], tspec, xt)
+            xt = stage_cast("tencoder", xt)
+            xt = hl.henc_forward(
+                stage_params("tencoder", params["tencoder"][idx]), tspec, xt)
             if not tspec.empty:
                 saved_t.append(xt)
             else:
                 inject = xt
-        x = hl.henc_forward(params["encoder"][idx], spec_l, x, inject)
+        x = stage_cast("encoder", x)
+        if inject is not None:
+            inject = stage_cast("encoder", inject)
+        x = hl.henc_forward(
+            stage_params("encoder", params["encoder"][idx]), spec_l, x, inject)
         if idx == 0 and lay.freq_emb_bins:
             frs = jnp.arange(x.shape[-2])
-            emb = hl.scaled_embedding_forward(params["freq_emb"], frs, cfg.emb_scale)
-            x = x + cfg.freq_emb * emb.T[None, :, :, None]
+            emb = hl.scaled_embedding_forward(
+                stage_params("encoder", params["freq_emb"]), frs, cfg.emb_scale)
+            x = x + cfg.freq_emb * emb.T[None, :, :, None].astype(x.dtype)
         saved.append(x)
 
     if cfg.t_layers > 0:
+        x = stage_cast("transformer", x)
+        xt = stage_cast("transformer", xt)
         if cfg.bottom_channels:
+            up = stage_params("transformer", params["channel_upsampler"])
+            up_t = stage_params("transformer", params["channel_upsampler_t"])
             b, c, f, t = x.shape
             x = x.reshape(b, c, f * t)
-            x = onn.conv1d(x, params["channel_upsampler"]["weight"],
-                           params["channel_upsampler"]["bias"])
+            x = onn.conv1d(x, up["weight"], up["bias"])
             x = x.reshape(b, -1, f, t)
-            xt = onn.conv1d(xt, params["channel_upsampler_t"]["weight"],
-                            params["channel_upsampler_t"]["bias"])
+            xt = onn.conv1d(xt, up_t["weight"], up_t["bias"])
         x, xt = crosstransformer_forward(
-            params["crosstransformer"], transformer_spec(cfg), x, xt,
+            stage_params("transformer", params["crosstransformer"]),
+            transformer_spec(cfg), x, xt,
             train=train, rng=rng,
         )
         if cfg.bottom_channels:
+            down = stage_params("transformer", params["channel_downsampler"])
+            down_t = stage_params("transformer", params["channel_downsampler_t"])
             b, c, f, t = x.shape
             x = x.reshape(b, c, f * t)
-            x = onn.conv1d(x, params["channel_downsampler"]["weight"],
-                           params["channel_downsampler"]["bias"])
+            x = onn.conv1d(x, down["weight"], down["bias"])
             x = x.reshape(b, -1, f, t)
-            xt = onn.conv1d(xt, params["channel_downsampler_t"]["weight"],
-                            params["channel_downsampler_t"]["bias"])
+            xt = onn.conv1d(xt, down_t["weight"], down_t["bias"])
 
+    x = stage_cast("decoder", x)
+    xt = stage_cast("tdecoder", xt)
     for idx, dspec in enumerate(lay.dec):
-        skip = saved.pop(-1)
-        x, pre = hl.hdec_forward(params["decoder"][idx], dspec, x, skip, lengths.pop(-1))
+        skip = stage_cast("decoder", saved.pop(-1))
+        x, pre = hl.hdec_forward(
+            stage_params("decoder", params["decoder"][idx]), dspec, x, skip,
+            lengths.pop(-1))
         offset = cfg.depth - len(lay.tdec)
         if idx >= offset:
             tspec = lay.tdec[idx - offset]
             length_t = lengths_t.pop(-1)
+            tdec_params = stage_params(
+                "tdecoder", params["tdecoder"][idx - offset])
             if tspec.empty:
                 assert pre.shape[2] == 1, pre.shape
-                pre = pre[:, :, 0]
-                xt, _ = hl.hdec_forward(params["tdecoder"][idx - offset], tspec,
-                                        pre, None, length_t)
+                pre = stage_cast("tdecoder", pre[:, :, 0])
+                xt, _ = hl.hdec_forward(tdec_params, tspec, pre, None, length_t)
             else:
-                skip_t = saved_t.pop(-1)
-                xt, _ = hl.hdec_forward(params["tdecoder"][idx - offset], tspec,
-                                        xt, skip_t, length_t)
+                skip_t = stage_cast("tdecoder", saved_t.pop(-1))
+                xt, _ = hl.hdec_forward(tdec_params, tspec, xt, skip_t, length_t)
 
     assert not saved and not saved_t and not lengths_t
 
@@ -297,7 +364,8 @@ def forward_core(
 ) -> tp.Tuple[jax.Array, jax.Array]:
     """Export-boundary core (htdemucs.py:662-759): precomputed mag + mix in,
     (spec_out, time_out) before masking/iSTFT out."""
-    return _core(params, cfg, mag, mix, train=False, rng=None)
+    with _precision_scope(cfg):
+        return _core(params, cfg, mag, mix, train=False, rng=None)
 
 
 def forward(
@@ -328,7 +396,8 @@ def forward(
     z = demucs_spec(mix, cfg.nfft)
     mag = cac_pack(z) if cfg.cac else jnp.abs(z)
 
-    x, xt = _core(params, cfg, mag, mix, train=train, rng=rng)
+    with _precision_scope(cfg):
+        x, xt = _core(params, cfg, mag, mix, train=train, rng=rng)
 
     if cfg.cac:
         zout = cac_unpack(x)
