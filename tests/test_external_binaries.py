@@ -71,6 +71,60 @@ def test_audiofile_ffmpeg_reader_matches_native_wav(tmp_path):
     np.testing.assert_allclose(got[..., :n], native[..., :n], atol=2e-4)
 
 
+@pytest.mark.skipif(not _FFMPEG, reason="ffmpeg not installed in this env")
+@pytest.mark.parametrize("bps", [16, 24])
+def test_flac_our_encode_ffmpeg_decode(tmp_path, bps):
+    """Our FLAC encoder -> ffmpeg decode: byte-exact PCM round trip.
+
+    Both halves of the first-party codec (flacio.py) are self-authored, so
+    in-repo round trips can't catch a shared spec misreading; this is the
+    external oracle for the ENCODER (reference consumer:
+    demucs/audio.py:236-265 shells out to ffmpeg for non-wav formats)."""
+    import subprocess
+
+    from demucs_tpu.flacio import write_flac
+
+    wav, sr = _tone(0.7)
+    path = tmp_path / "x.flac"
+    write_flac(path, wav, sr, bits_per_sample=bps)
+    fmt = "s16le" if bps == 16 else "s32le"
+    raw = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(path), "-f", fmt, "-"],
+        stdout=subprocess.PIPE, check=True).stdout
+    got = np.frombuffer(raw, np.int16 if bps == 16 else np.int32)
+    got = got.reshape(-1, 2).T.astype(np.int64)
+    if bps == 24:
+        got >>= 8  # ffmpeg s32le carries 24-bit samples in the high bytes
+    lim = (1 << (bps - 1)) - 1
+    want = np.clip(np.round(wav.astype(np.float64) * lim), -lim - 1, lim)
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+@pytest.mark.skipif(not _FFMPEG, reason="ffmpeg not installed in this env")
+@pytest.mark.parametrize("level", ["0", "8", "12"])
+def test_flac_ffmpeg_encode_our_decode(tmp_path, level):
+    """ffmpeg FLAC encode (compression levels spanning plain FIXED up to
+    LPC order 12 + mid-side + high partition orders) -> our decoder:
+    byte-exact PCM. The external oracle for the DECODER's LPC/stereo
+    paths beyond what our encoder emits."""
+    import subprocess
+
+    from demucs_tpu.flacio import decode_flac
+
+    wav, sr = _tone(0.7)
+    lim = 32767
+    pcm = np.clip(np.round(wav.astype(np.float64) * lim), -lim - 1, lim)
+    raw = pcm.T.astype("<i2").tobytes()
+    path = tmp_path / f"lvl{level}.flac"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "s16le", "-ar", str(sr), "-ac", "2",
+         "-i", "-", "-compression_level", level, str(path)],
+        input=raw, check=True)
+    got, got_sr, got_bps = decode_flac(path.read_bytes())
+    assert (got_sr, got_bps) == (sr, 16)
+    np.testing.assert_array_equal(got, pcm.astype(np.int32))
+
+
 @pytest.mark.skipif(not _MUSEVAL, reason="museval not installed in this env")
 def test_native_bsseval_matches_museval():
     """ops/bsseval (native BSS-eval images) vs museval.metrics.bss_eval on

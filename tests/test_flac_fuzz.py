@@ -1,0 +1,365 @@
+"""FLAC decoder fuzz over generated spec-corner streams.
+
+The first-party encoder (demucs_tpu/flacio.py) only emits CONSTANT /
+VERBATIM / FIXED+Rice subframes at partition order 0 with no wasted bits, so
+round-trip tests never exercise the decoder's LPC path, high Rice partition
+orders, escape (raw) partitions, wasted bits, mid/side-family frames with
+hand-picked assignments, or per-frame blocksize changes. This suite builds
+such streams bit-by-bit from the FLAC spec (frame/subframe layouts mirrored
+from the reference consumer's format — ffmpeg via demucs/audio.py:236-265 —
+and RFC 9639) with ground truth computed by an independent straight-line
+reconstruction, then checks ``decode_flac`` byte-exactly (including frame
+CRCs and the STREAMINFO MD5).
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from demucs_tpu.flacio import (_BitWriter, _crc8, _crc16, _utf8_number,
+                               _zigzag, decode_flac)
+
+BLOCKSIZE_CODES = {192: 0b0001, 576: 0b0010, 1152: 0b0011, 2304: 0b0100,
+                   4608: 0b0101, 256: 0b1000, 512: 0b1001, 1024: 0b1010,
+                   2048: 0b1011, 4096: 0b1100}
+
+
+def write_unary(bw, q):
+    bw.write(1, q + 1)  # q zeros then a 1
+
+
+def write_residual(bw, res, order, bs, part_order=0, ks=None, escape_rb=None):
+    """4-bit Rice residual section; ``ks[p]`` per-partition parameter, or
+    ``escape_rb[p]`` not None => raw escape partition with that bit width."""
+    bw.write(0b00, 2)
+    bw.write(part_order, 4)
+    parts = 1 << part_order
+    w = 0
+    for p in range(parts):
+        count = (bs >> part_order) - (order if p == 0 else 0)
+        chunk = res[w:w + count]
+        rb = escape_rb[p] if escape_rb else None
+        if rb is not None:
+            bw.write(0b1111, 4)
+            bw.write(rb, 5)
+            if rb:
+                bw.write_signed_array(np.asarray(chunk, np.int64), rb)
+        else:
+            k = ks[p] if ks else 0
+            bw.write(k, 4)
+            bw.write_rice(_zigzag(np.asarray(chunk, np.int64)), k)
+        w += count
+    assert w == bs - order
+
+
+def lpc_subframe(bw, bs, bps, warm, coefs, shift, prec, res, wasted=0,
+                 part_order=0, ks=None, escape_rb=None):
+    """Writes an LPC subframe; returns the expected decoded samples."""
+    order = len(warm)
+    eff = bps - wasted
+    bw.write(0, 1)
+    bw.write(0b100000 | (order - 1), 6)
+    if wasted:
+        bw.write(1, 1)
+        write_unary(bw, wasted - 1)
+    else:
+        bw.write(0, 1)
+    bw.write_signed_array(np.asarray(warm, np.int64), eff)
+    bw.write(prec - 1, 4)
+    bw.write(shift & 0x1F, 5)
+    bw.write_signed_array(np.asarray(coefs, np.int64), prec)
+    write_residual(bw, res, order, bs, part_order, ks, escape_rb)
+    # independent reconstruction (RFC 9639 §: predictor + residual)
+    x = np.zeros(bs, np.int64)
+    x[:order] = warm
+    for i in range(order, bs):
+        pred = sum(int(coefs[j]) * int(x[i - 1 - j]) for j in range(order))
+        x[i] = (pred >> shift) + int(res[i - order])
+    return x << wasted
+
+
+def fixed_subframe(bw, bs, bps, warm, order, res, wasted=0, part_order=0,
+                   ks=None, escape_rb=None):
+    eff = bps - wasted
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)
+    if wasted:
+        bw.write(1, 1)
+        write_unary(bw, wasted - 1)
+    else:
+        bw.write(0, 1)
+    if order:
+        bw.write_signed_array(np.asarray(warm, np.int64), eff)
+    write_residual(bw, res, order, bs, part_order, ks, escape_rb)
+    x = np.asarray(res, np.int64)
+    for k in range(order, 0, -1):
+        first = sum((-1) ** j * int(_comb(k - 1, j)) * int(warm[k - 1 - j])
+                    for j in range(k))
+        x = np.concatenate([np.array([first], np.int64), first + np.cumsum(x)])
+    return x << wasted
+
+
+def _comb(n, r):
+    import math
+
+    return math.comb(n, r)
+
+
+def build_stream(frames, sr=44100, bps=16, channels=2, block_size=4096,
+                 md5_of=None, total=None):
+    """frames: list of (frame_bytes, bs). Returns a full FLAC byte stream."""
+    info = bytearray()
+    info += struct.pack(">HH", block_size, block_size)
+    sizes = [len(f) for f, _ in frames] or [0]
+    info += min(sizes).to_bytes(3, "big") + max(sizes).to_bytes(3, "big")
+    if total is None:
+        total = sum(bs for _, bs in frames)
+    packed = (sr << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    info += packed.to_bytes(8, "big")
+    if md5_of is not None:
+        width = bps // 8
+        inter = md5_of.T.astype("<i4").tobytes()
+        raw = np.frombuffer(inter, np.uint8).reshape(-1, 4)[:, :width].tobytes()
+        info += hashlib.md5(raw).digest()
+    else:
+        info += b"\0" * 16
+    head = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    return head + b"".join(f for f, _ in frames)
+
+
+def build_frame(fi, bs, chan_assign, sub_writers, block_size=4096,
+                force_bs16=False):
+    """sub_writers: list of callables (bw, bps_for_channel) -> expected.
+    Returns (frame_bytes, expected_channels list)."""
+    header = bytearray(b"\xff\xf8")
+    if not force_bs16 and bs in BLOCKSIZE_CODES:
+        bs_bits, bs_tail = BLOCKSIZE_CODES[bs], b""
+    elif bs <= 256:
+        bs_bits, bs_tail = 0b0110, bytes([bs - 1])
+    else:
+        bs_bits, bs_tail = 0b0111, struct.pack(">H", bs - 1)
+    header.append((bs_bits << 4) | 0b0000)
+    header.append((chan_assign << 4) | (0b000 << 1))  # bps from STREAMINFO
+    header += _utf8_number(fi)
+    header += bs_tail
+    header.append(_crc8(bytes(header)))
+
+    bw = _BitWriter()
+    outs = [w(bw) for w in sub_writers]
+    body = bw.pack()
+    frame = bytes(header) + body
+    frame += struct.pack(">H", _crc16(frame))
+    return frame, outs
+
+
+def recombine(chan_assign, outs):
+    if chan_assign <= 0b0111:
+        return np.stack(outs)
+    if chan_assign == 0b1000:  # left/side
+        left, side = outs
+        return np.stack([left, left - side])
+    if chan_assign == 0b1001:  # right/side
+        side, right = outs
+        return np.stack([right + side, right])
+    mid, side = outs  # mid/side
+    m2 = (mid << 1) | (side & 1)
+    return np.stack([(m2 + side) >> 1, (m2 - side) >> 1])
+
+
+def decode_expect(stream, expected, bps=16):
+    got, sr, got_bps = decode_flac(stream)
+    assert got_bps == bps
+    np.testing.assert_array_equal(got, expected.astype(np.int32))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lpc_random_orders_partitions(seed):
+    """Random LPC subframes: order 1..16, random precision/shift/coefs,
+    partition orders 0..4, independent channels; MD5 verified."""
+    rng = np.random.default_rng(seed)
+    bs = int(rng.choice([256, 512, 1024]))
+    order = int(rng.integers(1, 17))
+    part_order = int(rng.integers(0, 5))
+    while (bs >> part_order) <= order:
+        part_order -= 1
+    bps = 16
+
+    def make_sub(bw):
+        # stability by construction: shift 15 with sum|coefs| <= 2^14 keeps
+        # the predictor gain <= 0.5, so samples stay in 16-bit range (MD5
+        # verifiable) for any residual draw
+        prec = 15
+        shift = 15
+        bound = (1 << 14) // order
+        coefs = rng.integers(-bound, bound + 1, order)
+        warm = rng.integers(-2000, 2000, order)
+        res = rng.integers(-60, 60, bs - order)
+        ks = [int(rng.integers(0, 8)) for _ in range(1 << part_order)]
+        return lpc_subframe(bw, bs, bps, warm, coefs, shift, prec, res,
+                            part_order=part_order, ks=ks)
+
+    frame, outs = build_frame(0, bs, 0b0001, [make_sub, make_sub])
+    exp = recombine(0b0001, outs)
+    lim = 1 << (bps - 1)
+    assert exp.min() >= -lim and exp.max() < lim
+    stream = build_stream([(frame, bs)], md5_of=exp)
+    decode_expect(stream, exp)
+
+
+def test_wasted_bits_constant_verbatim_fixed_lpc():
+    """Wasted-bits flag on every subframe type: decoded samples are shifted
+    left by the wasted count (RFC 9639 §9.2.2)."""
+    rng = np.random.default_rng(7)
+    bs = 192
+    bps = 16
+
+    def const_sub(bw):
+        w = 3
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(1, 1)
+        write_unary(bw, w - 1)
+        bw.write(-123 & ((1 << (bps - w)) - 1), bps - w)
+        return np.full(bs, -123 << w, np.int64)
+
+    def verb_sub(bw):
+        w = 1
+        vals = rng.integers(-1000, 1000, bs)
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(1, 1)
+        write_unary(bw, w - 1)
+        bw.write_signed_array(vals, bps - w)
+        return vals.astype(np.int64) << w
+
+    frame0, outs0 = build_frame(0, bs, 0b0001, [const_sub, verb_sub])
+
+    def fixed_sub(bw):
+        return fixed_subframe(bw, bs, bps, [5, -3], 2,
+                              rng.integers(-40, 40, bs - 2), wasted=2)
+
+    def lpc_sub(bw):
+        return lpc_subframe(bw, bs, bps, [100, -50, 25], [300, -120, 40], 9,
+                            10, rng.integers(-30, 30, bs - 3), wasted=2)
+
+    frame1, outs1 = build_frame(1, bs, 0b0001, [fixed_sub, lpc_sub])
+    exp = np.concatenate(
+        [recombine(0b0001, outs0), recombine(0b0001, outs1)], axis=-1)
+    # order-2 FIXED reconstructions can exceed 16-bit range (double cumsum);
+    # MD5 covers the in-range suites, direct comparison covers this one
+    stream = build_stream([(frame0, bs), (frame1, bs)], md5_of=None)
+    got, _, _ = decode_flac(stream)
+    np.testing.assert_array_equal(got, exp.astype(np.int32))
+
+
+@pytest.mark.parametrize("chan_assign", [0b1000, 0b1001, 0b1010])
+def test_side_channel_assignments(chan_assign):
+    """left/side, right/side, mid/side frames with LPC side subframes at
+    bps+1 (the one extra bit the spec grants side channels)."""
+    rng = np.random.default_rng(chan_assign)
+    bs = 576
+    bps = 16
+
+    def main_sub(bw):
+        return fixed_subframe(bw, bs, bps, [10, 12, 9], 3,
+                              rng.integers(-80, 80, bs - 3))
+
+    def side_sub(bw):  # side channels decode at bps + 1
+        return lpc_subframe(bw, bs, bps + 1, [40, -20], [250, -90], 8, 10,
+                            rng.integers(-50, 50, bs - 2), part_order=2,
+                            ks=[3, 4, 0, 6])
+
+    if chan_assign == 0b1001:  # right/side: side subframe comes FIRST
+        subs = [side_sub, main_sub]
+    else:
+        subs = [main_sub, side_sub]
+    frame, outs = build_frame(0, bs, chan_assign, subs)
+    exp = recombine(chan_assign, outs)
+    stream = build_stream([(frame, bs)], md5_of=None)
+    got, _, _ = decode_flac(stream)
+    np.testing.assert_array_equal(got, exp.astype(np.int32))
+
+
+def test_blocksize_changes_and_uncommon_codes():
+    """Streams whose frames change blocksize (table codes, uncommon 8-bit
+    and 16-bit codes) decode to the concatenation."""
+    rng = np.random.default_rng(11)
+    bps = 16
+    frames, exps = [], []
+    for fi, (bs, force16) in enumerate([(192, False), (100, False),
+                                        (2048, False), (777, False),
+                                        (256, True)]):
+        def sub(bw, bs=bs):
+            return fixed_subframe(bw, bs, bps, [1], 1,
+                                  rng.integers(-20, 20, bs - 1))
+
+        frame, outs = build_frame(fi, bs, 0b0001, [sub, sub],
+                                  force_bs16=force16)
+        frames.append((frame, bs))
+        exps.append(recombine(0b0001, outs))
+    exp = np.concatenate(exps, axis=-1)
+    stream = build_stream(frames, md5_of=exp)
+    decode_expect(stream, exp)
+
+
+def test_escape_raw_partitions():
+    """Escape-coded (raw binary) residual partitions, mixed with Rice
+    partitions in one subframe, including a 0-width escape (all zeros)."""
+    rng = np.random.default_rng(13)
+    bs = 1024
+    bps = 16
+
+    def sub(bw):
+        res = np.concatenate([
+            rng.integers(-500, 500, (bs >> 2) - 2),
+            rng.integers(-500, 500, bs >> 2),
+            np.zeros(bs >> 2, np.int64),
+            rng.integers(-4, 4, bs >> 2),
+        ])
+        return fixed_subframe(bw, bs, bps, [3, -1], 2, res, part_order=2,
+                              ks=[None, None, None, 2],
+                              escape_rb=[10, 12, 0, None])
+
+    # ks/escape interplay: escape_rb[p] wins where not None
+    frame, outs = build_frame(0, bs, 0b0001, [sub, sub])
+    exp = recombine(0b0001, outs)
+    stream = build_stream([(frame, bs)], md5_of=None)
+    got, _, _ = decode_flac(stream)
+    np.testing.assert_array_equal(got, exp.astype(np.int32))
+
+
+def test_high_partition_order():
+    """Partition order 6 (64 partitions) with varying per-partition k."""
+    rng = np.random.default_rng(17)
+    bs = 4096
+    bps = 16
+
+    def sub(bw):
+        ks = [int(rng.integers(0, 12)) for _ in range(64)]
+        res = rng.integers(-300, 300, bs - 4)
+        return fixed_subframe(bw, bs, bps, [7, -2, 4, 1], 4, res,
+                              part_order=6, ks=ks)
+
+    frame, outs = build_frame(0, bs, 0b0001, [sub, sub])
+    exp = recombine(0b0001, outs)
+    stream = build_stream([(frame, bs)], md5_of=None)
+    got, _, _ = decode_flac(stream)
+    np.testing.assert_array_equal(got, exp.astype(np.int32))
+
+
+def test_mono_and_multichannel_independent():
+    """1- and 4-channel streams (independent assignment codes 0 and 3)."""
+    rng = np.random.default_rng(19)
+    bs = 256
+    bps = 16
+    for C in (1, 4):
+        def sub(bw):
+            return fixed_subframe(bw, bs, bps, [2], 1,
+                                  rng.integers(-50, 50, bs - 1))
+
+        frame, outs = build_frame(0, bs, C - 1, [sub] * C)
+        exp = recombine(C - 1, outs) if C == 2 else np.stack(outs)
+        stream = build_stream([(frame, bs)], channels=C, md5_of=exp)
+        decode_expect(stream, exp)
