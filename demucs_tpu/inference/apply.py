@@ -122,6 +122,16 @@ def _run_batched(
     fwd = model.forward_fn()
     inputs = [c.padded(target_length) for c in chunks]
     outputs_dev = []
+    results: tp.List[np.ndarray] = []
+
+    def collect(out, n_valid, item_b, i, n_group):
+        arr = np.asarray(out)[:n_valid]
+        for j in range(n_group):
+            chunk_out = arr[j * item_b : (j + 1) * item_b]
+            results.append(center_trim(chunk_out, chunks[i + j].length))
+            if on_chunk is not None:
+                on_chunk(i + j, "end")
+
     for i in range(0, len(inputs), batch_size):
         group = inputs[i : i + batch_size]
         # Flatten track-batch into the segment batch; pad to a fixed batch
@@ -136,15 +146,15 @@ def _run_batched(
             for j in range(i, i + len(group)):
                 on_chunk(j, "start")
         out = fwd(model.params, jnp.asarray(stacked))
-        outputs_dev.append((out, n_valid, item_b, i, len(group)))
-    results: tp.List[np.ndarray] = []
-    for out, n_valid, item_b, i, n_group in outputs_dev:
-        arr = np.asarray(out)[:n_valid]
-        for j in range(n_group):
-            chunk_out = arr[j * item_b : (j + 1) * item_b]
-            results.append(center_trim(chunk_out, chunks[i + j].length))
-            if on_chunk is not None:
-                on_chunk(i + j, "end")
+        if on_chunk is not None:
+            # Callback runs get reference event cadence (every started
+            # chunk's "end" fires before the next batch's "start",
+            # apply.py:278-320) at the cost of batch-level pipelining.
+            collect(out, n_valid, item_b, i, len(group))
+        else:
+            outputs_dev.append((out, n_valid, item_b, i, len(group)))
+    for pending in outputs_dev:
+        collect(*pending)
     return results
 
 

@@ -21,7 +21,7 @@ import torchref  # installs the reference's dependency stubs
 torchref.import_reference()
 
 
-def _ref_separator(tmodel):
+def _ref_separator(tmodel, **overrides):
     """Construct the reference ``api.Separator`` around an in-memory model
     (its __init__ downloads by name, api.py:107-118 — bypassed here)."""
     from demucs import api as ref_api
@@ -32,14 +32,16 @@ def _ref_separator(tmodel):
     sep._model = tmodel
     sep._audio_channels = tmodel.audio_channels
     sep._samplerate = tmodel.samplerate
-    sep.update_parameter(
+    kw = dict(
         device="cpu", shifts=0, overlap=0.25, split=True, segment=None,
         jobs=0, progress=False, callback=None, callback_arg=None,
     )
+    kw.update(overrides)
+    sep.update_parameter(**kw)
     return sep
 
 
-def _our_separator(model):
+def _our_separator(model, **overrides):
     from demucs_tpu import api as our_api
 
     sep = object.__new__(our_api.Separator)
@@ -48,12 +50,14 @@ def _our_separator(model):
     sep._model = model
     sep._audio_channels = model.audio_channels
     sep._samplerate = model.samplerate
-    sep.update_parameter(
+    kw = dict(
         device="cpu", shifts=0, overlap=0.25, split=True, segment=None,
         jobs=0, progress=False, callback=None, callback_arg=None,
         batch_size=4, engine="auto", transfer_dtype=None,
         length_bucket_seconds=None,
     )
+    kw.update(overrides)
+    sep.update_parameter(**kw)
     return sep
 
 
@@ -182,3 +186,196 @@ def test_cli_two_stems_parity(pair, tmp_path, monkeypatch, other_method,
         # PCM16 write/read quantization (~2/32768) + forward parity tolerance
         err = np.abs(got - np.clip(expect, -1, 1)).max()
         assert err < 2e-3 * scale + 2 / 32768, (name, err)
+
+
+def _compare_stems(our_stems, ref_stems, tol=2e-3):
+    assert list(our_stems) == list(ref_stems) == SOURCES
+    scale = max(float(max(s.abs().max() for s in ref_stems.values())), 1.0)
+    for name in SOURCES:
+        err = np.abs(our_stems[name] - ref_stems[name].numpy()).max()
+        assert err < tol * scale, (name, err)
+
+
+def test_separator_shifts_parity(pair, monkeypatch):
+    """shifts=2 through the api seam with PINNED offsets: both sides draw
+    from the module-level ``random`` (reference apply.py:245), so seeding it
+    identically pins the exact shift sequence. The reference's sin-embedding
+    consumes a no-op ``random.randrange(sin_random_shift + 1)`` per forward
+    even in eval (transformer.py:680; always 0 at the default
+    sin_random_shift=0) which would desynchronize the stream — neutralized
+    here without changing its result."""
+    import random as _rnd
+
+    monkeypatch.setattr(_rnd, "randrange", lambda *a, **k: 0)
+    tmodel, model = pair
+    wav = _loud_wav(model.samplerate)
+
+    ref_sep = _ref_separator(tmodel, shifts=2)
+    _rnd.seed(1234)
+    with torch.no_grad():
+        _, ref_stems = ref_sep.separate_tensor(torch.from_numpy(wav.copy()))
+
+    our_sep = _our_separator(model, shifts=2)
+    _rnd.seed(1234)
+    _, our_stems = our_sep.separate_tensor(wav.copy())
+    _compare_stems(our_stems, ref_stems)
+
+
+def test_separator_segment_override_parity(pair):
+    """Explicit segment override (reference apply.py:303-309: HTDemucs leaf
+    target becomes int(segment*sr)) through the api seam."""
+    tmodel, model = pair
+    wav = _loud_wav(model.samplerate, seconds=1.1, seed=23)
+
+    ref_sep = _ref_separator(tmodel, segment=0.3)
+    with torch.no_grad():
+        _, ref_stems = ref_sep.separate_tensor(torch.from_numpy(wav.copy()))
+
+    our_sep = _our_separator(model, segment=0.3)
+    _, our_stems = our_sep.separate_tensor(wav.copy())
+    _compare_stems(our_stems, ref_stems)
+
+
+def test_separator_jobs_parity(pair):
+    """jobs=2: the reference runs segments through a ThreadPoolExecutor
+    (apply.py:176-182); ours accepts the flag for API compatibility (device
+    batching supplies the parallelism). Results must agree either way."""
+    tmodel, model = pair
+    wav = _loud_wav(model.samplerate, seconds=1.6, seed=24)
+
+    ref_sep = _ref_separator(tmodel, jobs=2)
+    with torch.no_grad():
+        _, ref_stems = ref_sep.separate_tensor(torch.from_numpy(wav.copy()))
+
+    our_sep = _our_separator(model, jobs=2)
+    _, our_stems = our_sep.separate_tensor(wav.copy())
+    _compare_stems(our_stems, ref_stems)
+
+
+def test_callback_event_stream_parity(pair, monkeypatch):
+    """Callback protocol equality on a 2-model bag with shifts=2: the
+    (state, model_idx_in_bag, shift_idx, segment_offset, models) event
+    sequence must match the reference's exactly — keys, order and counts
+    (reference apply.py:185-320). batch_size=1 pins our batched dispatch to
+    the reference's per-chunk start/end cadence; the reference's no-op
+    eval-time ``randrange`` draw is neutralized as in the shifts test so
+    both sides see identical shift offsets (and hence chunk grids)."""
+    import random as _rnd
+
+    monkeypatch.setattr(_rnd, "randrange", lambda *a, **k: 0)
+
+    from demucs.apply import apply_model as ref_apply, BagOfModels as RefBag
+
+    from demucs_tpu.inference.apply import apply_model as our_apply
+    from demucs_tpu.models.registry import BagOfModels
+
+    tmodel, model = pair
+    tmodel2, cfg2, params2 = make_htdemucs_pair(seed=7)
+    ref_bag = RefBag([tmodel, tmodel2])
+    our_bag = BagOfModels([model, Model("htdemucs", cfg2, params2)])
+
+    wav = _loud_wav(model.samplerate, seconds=1.2, seed=25)[None]
+    KEYS = ("state", "model_idx_in_bag", "shift_idx", "segment_offset",
+            "models")
+
+    ref_events = []
+    _rnd.seed(99)
+    with torch.no_grad():
+        ref_apply(ref_bag, torch.from_numpy(wav.copy()), shifts=2, split=True,
+                  overlap=0.25, device="cpu",
+                  callback=lambda d: ref_events.append(
+                      tuple(d.get(k) for k in KEYS)))
+
+    our_events = []
+    _rnd.seed(99)
+    our_apply(our_bag, wav.copy(), shifts=2, split=True, overlap=0.25,
+              batch_size=1, engine="host",
+              callback=lambda d: our_events.append(
+                  tuple(d.get(k) for k in KEYS)))
+
+    assert len(our_events) == len(ref_events)
+    assert our_events == ref_events
+
+
+def test_cli_file_level_diff(pair, tmp_path, monkeypatch):
+    """Reference `demucs` CLI vs ours, same WAV + flags, PCM16 file diff.
+
+    The reference CLI runs LIVE (arg parsing, Separator construction,
+    max-segment validation, separation, filename templating, clip handling)
+    with only its environment-blocked edges shimmed to the same codecs ours
+    uses: model loading (no network), audio input (no ffmpeg/torchaudio)
+    and the final torchaudio PCM16 encoder (demucs/audio.py:260-263), so
+    both sides share one int16 rounding law. Payloads must agree to <=1 LSB
+    with the vast majority of samples byte-identical (cross-framework
+    forward parity ~1e-6 leaves knife-edge samples at rounding boundaries).
+    """
+    import random as _rnd
+    from pathlib import Path
+
+    import demucs.separate as ref_sep_mod
+    from demucs import api as ref_api
+    from demucs.audio import prevent_clip as ref_prevent_clip
+
+    from demucs_tpu import audio as dta
+    from demucs_tpu import api as our_api
+    from demucs_tpu.separate import main as our_main
+
+    tmodel, model = pair
+    wav = _loud_wav(model.samplerate, seconds=1.4, seed=26)
+    track = tmp_path / "song.wav"
+    dta.write_wav(track, wav, model.samplerate)
+
+    class _RefCLISep(ref_api.Separator):
+        def __init__(self, model=None, repo=None, **kw):
+            self._name = model
+            self._repo = repo
+            self._model = tmodel
+            self._audio_channels = tmodel.audio_channels
+            self._samplerate = tmodel.samplerate
+            defaults = dict(device="cpu", shifts=0, overlap=0.25, split=True,
+                            segment=None, jobs=0, progress=False,
+                            callback=None, callback_arg=None)
+            defaults.update({k: v for k, v in kw.items() if k in defaults})
+            self.update_parameter(**defaults)
+
+        def _load_audio(self, track):
+            got, sr = dta.read_wav(track)
+            assert sr == self._samplerate
+            return torch.from_numpy(got)
+
+    def _ref_save(wav_t, path, samplerate, bitrate=320, clip="rescale",
+                  preset=None, bits_per_sample=16, as_float=False):
+        assert not as_float and bits_per_sample == 16
+        out = ref_prevent_clip(wav_t, mode=clip)
+        dta.write_wav(Path(path), out.numpy(), samplerate)
+
+    monkeypatch.setattr(ref_sep_mod, "Separator", _RefCLISep)
+    monkeypatch.setattr(ref_sep_mod, "save_audio", _ref_save)
+
+    # (--segment is int-typed in the reference parser — smaller than this
+    # tiny model's 0.5 s segment is unreachable there; the explicit override
+    # is covered at the api seam by test_separator_segment_override_parity)
+    flags = ["--shifts", "1", "--overlap", "0.25", "--device", "cpu"]
+    ref_out = tmp_path / "ref_out"
+    _rnd.seed(4321)
+    ref_sep_mod.main([str(track), "-n", "tiny", "-o", str(ref_out)] + flags)
+
+    monkeypatch.setattr(our_api, "get_model", lambda name, repo=None: model)
+    our_out = tmp_path / "our_out"
+    _rnd.seed(4321)
+    our_main([str(track), "-n", "tiny", "-o", str(our_out)] + flags)
+
+    ref_dir = ref_out / "tiny" / "song"
+    our_dir = our_out / "tiny" / "song"
+    names = sorted(p.name for p in ref_dir.iterdir())
+    assert names == sorted(p.name for p in our_dir.iterdir())
+    assert names == [f"{s}.wav" for s in sorted(SOURCES)]
+    for name in names:
+        a, sr_a = dta.read_wav(ref_dir / name)
+        b, sr_b = dta.read_wav(our_dir / name)
+        assert sr_a == sr_b and a.shape == b.shape
+        qa = np.round(a * 32767).astype(np.int64)
+        qb = np.round(b * 32767).astype(np.int64)
+        diff = np.abs(qa - qb)
+        assert diff.max() <= 1, (name, diff.max())
+        assert (diff == 0).mean() > 0.99, (name, (diff == 0).mean())
