@@ -96,6 +96,7 @@ class Separator:
         engine: str = "auto",
         transfer_dtype: tp.Optional[str] = None,
         length_bucket_seconds: tp.Optional[float] = None,
+        tail_mode: str = "exact",
         compute_dtype: tp.Optional[str] = None,
     ):
         """Load a model by name and hold separation parameters.
@@ -119,6 +120,7 @@ class Separator:
             callback_arg=callback_arg, batch_size=batch_size, engine=engine,
             transfer_dtype=transfer_dtype,
             length_bucket_seconds=length_bucket_seconds,
+            tail_mode=tail_mode,
         )
 
     def update_parameter(
@@ -136,6 +138,7 @@ class Separator:
         engine=NotProvided,
         transfer_dtype=NotProvided,
         length_bucket_seconds=NotProvided,
+        tail_mode=NotProvided,
     ):
         """Update separation parameters (api.py:124-201)."""
         if not isinstance(device, _NotProvided):
@@ -165,6 +168,8 @@ class Separator:
             self._transfer_dtype = transfer_dtype
         if not isinstance(length_bucket_seconds, _NotProvided):
             self._length_bucket_seconds = length_bucket_seconds
+        if not isinstance(tail_mode, _NotProvided):
+            self._tail_mode = tail_mode
 
     def _load_model(self):
         self._model = get_model(name=self._name, repo=self._repo)
@@ -213,6 +218,7 @@ class Separator:
                 engine=self._engine,
                 transfer_dtype=self._transfer_dtype,
                 length_bucket_seconds=self._length_bucket_seconds,
+                tail_mode=self._tail_mode,
             )
         out = out * (std + 1e-8) + mean
         wav = wav * (std + 1e-8) + mean
@@ -264,6 +270,7 @@ class Separator:
             batch_size=self._batch_size, engine=self._engine,
             transfer_dtype=self._transfer_dtype,
             length_bucket_seconds=self._length_bucket_seconds,
+            tail_mode=self._tail_mode,
         )
         # Enter the device scope only around each next(): holding it across
         # `yield` would leak the thread-local default device into whatever

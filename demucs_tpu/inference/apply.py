@@ -178,6 +178,7 @@ def apply_model(
     engine: str = "auto",
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
+    tail_mode: str = "exact",
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
 
@@ -202,7 +203,11 @@ def apply_model(
     reference apply.py:302-309) additionally re-run each ragged tail chunk
     at its exact per-length leaf target (one small extra executable per
     distinct tail target — the same compile granularity the host engine
-    pays for its tail-target batch groups).
+    pays for its tail-target batch groups). ``tail_mode="uniform"`` trades
+    that exactness for a single executable (tail chunks see slightly more
+    real context; full chunks stay bit-exact) — for throughput-critical
+    serving of segment-44 bags where random shifts would otherwise compile
+    per track.
     """
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -237,6 +242,7 @@ def apply_model(
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
                 length_bucket_seconds=length_bucket_seconds,
+                tail_mode=tail_mode,
                 mesh=auto_mesh(),
             )
     if rng is None:
@@ -394,6 +400,7 @@ def apply_model_tracks(
     engine: str = "auto",
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
+    tail_mode: str = "exact",
 ) -> tp.Iterator[np.ndarray]:
     """Pipelined multi-track ``apply_model``: yields ``(1, S, C, L)`` stems per
     input track ``(1, C, L)``, in order.
@@ -435,7 +442,7 @@ def apply_model_tracks(
             transition_power=transition_power, segment=segment,
             batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
             progress=progress, length_bucket_seconds=length_bucket_seconds,
-            mesh=auto_mesh())
+            tail_mode=tail_mode, mesh=auto_mesh())
         return
     for mix in tracks:
         yield apply_model(
@@ -443,4 +450,5 @@ def apply_model_tracks(
             transition_power=transition_power, progress=progress,
             segment=segment, rng=rng, batch_size=batch_size, engine=engine,
             transfer_dtype=transfer_dtype,
-            length_bucket_seconds=length_bucket_seconds)
+            length_bucket_seconds=length_bucket_seconds,
+            tail_mode=tail_mode)

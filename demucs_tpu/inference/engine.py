@@ -732,13 +732,26 @@ def _dispatch_track(
     mesh: tp.Optional["jax.sharding.Mesh"] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     prestaged: tp.Optional[dict] = None,
+    tail_mode: str = "exact",
 ):
     """Upload + dispatch all device work for one track (asynchronously),
     including the final normalize/wire-format program; returns the pending
     device results for ``_gather_stems`` to block on.
 
     ``input_transfer_dtype="auto"`` follows ``transfer_dtype``: a bit-exact
-    output request (None) implies a bit-exact (fp32) input upload."""
+    output request (None) implies a bit-exact (fp32) input upload.
+
+    ``tail_mode`` (length-dependent-target kinds only): "exact" (default)
+    runs each ragged tail chunk at its reference leaf target — bit-exact,
+    but every NEW tail shape costs a small executable compile+load (random
+    shift offsets make tail lengths vary per track; ~seconds each on this
+    relay). "uniform" pads every chunk to the uniform
+    ``leaf_target(segment_length)`` — one executable total, full chunks
+    bit-exact, tail chunks see slightly more real context than the
+    reference's per-length padding (apply.py:302-309). Uniform-target
+    models (HTDemucs with train segment) are always exact either way."""
+    if tail_mode not in ("exact", "uniform"):
+        raise ValueError(f"unknown tail_mode {tail_mode!r}")
     if input_transfer_dtype == "auto":
         bit_exact = transfer_dtype in (None, "float32")
         input_transfer_dtype = None if bit_exact else "float16"
@@ -785,9 +798,11 @@ def _dispatch_track(
         and mesh.devices.size % len(models) == 0
         # fan-out runs the uniform-target pass only; length-dependent-target
         # kinds (exact ragged tails) take the sequential path below, which
-        # still shards each member's segment forwards over the dp mesh
-        and first.kind == "htdemucs"
-        and (first.uses_train_segment or segment is not None)
+        # still shards each member's segment forwards over the dp mesh —
+        # unless the caller opted into tail_mode="uniform"
+        and (tail_mode == "uniform"
+             or (first.kind == "htdemucs"
+                 and (first.uses_train_segment or segment is not None)))
     )
     if prestaged and (fan_out or length_bucket_seconds or mesh is not None):
         raise ValueError(
@@ -831,8 +846,9 @@ def _dispatch_track(
         # program per (model, shift); length-dependent-target kinds
         # (apply.py:302-309) additionally run each ragged tail chunk at its
         # exact reference target (bit-exact tails — see _make_pass_body).
-        uniform = sub_model.kind == "htdemucs" and (
-            sub_model.uses_train_segment or segment is not None)
+        uniform = tail_mode == "uniform" or (
+            sub_model.kind == "htdemucs"
+            and (sub_model.uses_train_segment or segment is not None))
 
         key = (segment_length, target)
         if key not in track_dev:

@@ -73,6 +73,15 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--engine", default="auto", choices=["auto", "host", "device"],
                         help="Separation engine: device = on-chip overlap-add "
                         "with one fetch per track (fastest on TPU).")
+    parser.add_argument("--tail-mode", default="exact",
+                        choices=["exact", "uniform"],
+                        help="Ragged tail chunks on the device engine for "
+                        "hdemucs/demucs-era models: 'exact' (default) "
+                        "reproduces the reference's per-length tail padding "
+                        "bit-exactly (a small per-new-tail-shape compile); "
+                        "'uniform' runs everything at one padded target "
+                        "(single executable, tails see slightly more real "
+                        "context). HTDemucs models are exact either way.")
     parser.add_argument("--length-bucket", type=float, default=None,
                         metavar="SECONDS",
                         help="Quantize track lengths to this bucket on the "
@@ -145,6 +154,7 @@ def main(opts=None):
             engine=args.engine,
             transfer_dtype=None if wire == "float32" else wire,
             length_bucket_seconds=args.length_bucket,
+            tail_mode=args.tail_mode,
             compute_dtype=compute_dtype,
         )
     except ModelLoadingError as error:

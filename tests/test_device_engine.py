@@ -314,3 +314,32 @@ def test_high_overlap_vs_host(model):
     got = device_apply_model(model, mix, shifts=0, overlap=0.6,
                              transfer_dtype=None, input_transfer_dtype=None)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["hdemucs"])
+def test_tail_mode_uniform_optin(kind):
+    """tail_mode='uniform' (the single-executable serving opt-in): full
+    chunks stay bit-exact vs the host engine; tail chunks run at the
+    uniform target (slightly more real context — bounded deviation)."""
+    mdl = _non_ht_model(kind)
+    cfg = mdl.cfg
+    segment = 0.4
+    segment_length = int(segment * cfg.samplerate)
+    stride = int(0.75 * segment_length)
+    L = int(1.8 * segment_length)
+    partials = [o for o in range(0, L, stride) if L - o < segment_length]
+    clean = min(partials)
+
+    mix = random_mix((1, 2, L), seed=44)
+    want = apply_model(mdl, mix, shifts=0, split=True, overlap=0.25,
+                       segment=segment, engine="host")
+    got = device_apply_model(mdl, mix, shifts=0, overlap=0.25, segment=segment,
+                             transfer_dtype=None, input_transfer_dtype=None,
+                             tail_mode="uniform")
+    np.testing.assert_allclose(got[..., :clean], want[..., :clean],
+                               atol=2e-6, rtol=1e-5)
+    scale = max(np.abs(want).max(), 1e-3)
+    assert np.abs(got - want).max() < 0.35 * scale
+    with pytest.raises(ValueError, match="tail_mode"):
+        device_apply_model(mdl, mix, shifts=0, segment=segment,
+                           tail_mode="bogus")

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="pin compute to CPU")
     ap.add_argument("--cases", default="all",
-                    choices=["all", "stage", "matmul", "headline"])
+                    choices=["all", "stage", "matmul", "headline", "frontier"])
     args = ap.parse_args()
 
     import jax
@@ -102,8 +102,12 @@ def main():
     mix_dev = jax.device_put(mix)
 
     stages = ht._STAGES
-    cases = [("fp32", dict())]
-    if args.cases in ("all", "headline"):
+    # Reference = the most precise policy the backend offers (on TPU the
+    # plain-f32 default may itself run reduced-precision MXU passes — that
+    # default's own quality shows up as the "fp32-default" row).
+    cases = [("fp32-highest", dict(matmul_precision="highest")),
+             ("fp32-default", dict())]
+    if args.cases in ("all", "headline", "frontier"):
         cases += [
             ("bf16-all", dict(compute_dtype="bfloat16")),
             ("mixed (X3)", dict(compute_dtype="mixed")),
@@ -114,12 +118,13 @@ def main():
             cases.append((f"bf16 except {s}", dict(bf16_stages=keep)))
         for s in stages:
             cases.append((f"only {s} bf16", dict(bf16_stages=(s,))))
-    if args.cases in ("all", "matmul"):
+    if args.cases in ("all", "matmul", "frontier"):
         for alg in ("bfloat16", "tensorfloat32", "BF16_BF16_F32_X3",
-                    "highest"):
+                    "BF16_BF16_F32_X6"):
             cases.append((f"matmul {alg}", dict(matmul_precision=alg)))
 
     ref_out = None
+    default_out = None
     rows = []
     for name, delta in cases:
         cfg = dataclasses.replace(base, **delta)
@@ -128,9 +133,15 @@ def main():
         out = np.asarray(out_dev)
         if ref_out is None:
             ref_out = out
+        if name == "fp32-default":
+            default_out = out
         s = ser_db(ref_out, out)
         row = {"policy": name,
                "ser_db": round(s, 2) if np.isfinite(s) else "exact"}
+        if default_out is not None:
+            sd = ser_db(default_out, out)
+            row["ser_vs_default_db"] = (round(sd, 2) if np.isfinite(sd)
+                                        else "exact")
         if args.perf:
             sync = jax.jit(lambda p, m: jnp.sum(
                 fwd(p, m)[..., ::4096].astype(jnp.float32)))
