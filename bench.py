@@ -69,21 +69,36 @@ def main():
                         help="use the Pallas flash-attention kernel")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="capture a jax.profiler trace of one timed run")
-    parser.add_argument("--preset", choices=["default", "fast"],
+    parser.add_argument("--preset",
+                        choices=["default", "fast", "balanced", "quality"],
                         default="default",
-                        help="'fast' = the CLI's --preset fast configuration "
-                        "(bfloat16 compute + int8 wire, preview grade "
-                        "~44 dB SNR vs the default path)")
+                        help="the CLI quality/speed ladder "
+                        "(demucs_tpu/presets.py): fast = bf16 + int8 wire; "
+                        "balanced = 3-pass MXU (~82 dB vs true fp32); "
+                        "quality = 6-pass true fp32 + bit-exact wire")
+    parser.add_argument("--model", default="htdemucs",
+                        choices=["htdemucs", "htdemucs_ft", "htdemucs_6s",
+                                 "hdemucs_mmi", "mdx_extra", "demucs_v2"],
+                        help="released topology to bench (random-init params "
+                        "at released widths/segments — zoo weights need "
+                        "network; perf is weight-independent). Bags run all "
+                        "members; segment-44 kinds exercise the exact-tail "
+                        "path (fixed offsets keep tail executables warm "
+                        "across repeats).")
+    parser.add_argument("--tail-mode", default="exact",
+                        choices=["exact", "uniform"])
     args = parser.parse_args()
     # sentinel-None defaults: an explicitly passed --dtype/--transfer always
     # wins over the preset (the shared contract in demucs_tpu/presets.py)
-    from demucs_tpu.presets import FAST_COMPUTE_DTYPE, FAST_WIRE
+    from demucs_tpu.presets import resolve_preset
 
-    fast = args.preset == "fast"
+    compute_dtype, matmul_precision, wire, _banner = resolve_preset(
+        args.preset, args.transfer)
     if args.dtype is None:
-        args.dtype = FAST_COMPUTE_DTYPE if fast else "float32"
-    if args.transfer is None:
-        args.transfer = FAST_WIRE if fast else "float16"
+        args.dtype = compute_dtype or "float32"
+    args.transfer = (wire if wire not in (None, "auto")
+                     else ("float16" if args.transfer is None
+                           else args.transfer))
 
     import jax
 
@@ -92,16 +107,51 @@ def main():
     enable_compilation_cache()
 
     from demucs_tpu.models import htdemucs as ht
-    from demucs_tpu.models.registry import Model
+    from demucs_tpu.models.registry import BagOfModels, Model
     from demucs_tpu.inference.apply import apply_model, apply_model_tracks
 
-    # Released htdemucs topology (segment 7.8 s, remote/files meta).
-    cfg = ht.HTDemucsConfig(segment=7.8, compute_dtype=args.dtype,
-                            t_flash_attn=args.flash)
-    params = ht.init_htdemucs(cfg, seed=0)
-    params = jax.device_put(params)
-    model = Model("htdemucs", cfg, params)
+    def make_ht(sources=("drums", "bass", "other", "vocals"), seed=0):
+        # Released htdemucs topology (segment 7.8 s, remote/files meta).
+        cfg = ht.HTDemucsConfig(sources=tuple(sources), segment=7.8,
+                                compute_dtype=args.dtype,
+                                matmul_precision=matmul_precision,
+                                t_flash_attn=args.flash)
+        return Model("htdemucs", cfg,
+                     jax.device_put(ht.init_htdemucs(cfg, seed=seed)))
 
+    def make_hd(seed=0, segment=44.0):
+        # MDX-era HDemucs width (conf/config.yaml defaults), bag segment 44
+        # (zoo/repo.py REMOTE_BAGS / reference remote/*.yaml).
+        from demucs_tpu.models import hdemucs as hd
+
+        cfg = hd.HDemucsConfig(segment=segment)
+        return Model("hdemucs", cfg,
+                     jax.device_put(hd.init_hdemucs(cfg, seed=seed)))
+
+    if args.model == "htdemucs":
+        model = make_ht()
+    elif args.model == "htdemucs_ft":
+        model = BagOfModels([make_ht(seed=s) for s in range(4)],
+                            weights=[[1.0, 0.0, 0.0, 0.0],
+                                     [0.0, 1.0, 0.0, 0.0],
+                                     [0.0, 0.0, 1.0, 0.0],
+                                     [0.0, 0.0, 0.0, 1.0]])
+    elif args.model == "htdemucs_6s":
+        model = make_ht(sources=("drums", "bass", "other", "vocals",
+                                 "guitar", "piano"))
+    elif args.model == "hdemucs_mmi":
+        model = make_hd()
+    elif args.model == "mdx_extra":
+        model = BagOfModels([make_hd(seed=s) for s in range(4)], segment=44.0)
+    else:  # demucs_v2
+        from demucs_tpu.models import demucs as d2
+
+        cfg2 = d2.DemucsConfig()
+        model = Model("demucs", cfg2,
+                      jax.device_put(d2.init_demucs(cfg2, seed=0)))
+
+    first = model.models[0] if isinstance(model, BagOfModels) else model
+    cfg = first.cfg
     sr = cfg.samplerate
     L = int(args.seconds * sr)
     mixes = [
@@ -116,6 +166,7 @@ def main():
         overlap=args.overlap,
         batch_size=args.batch_size,
         transfer_dtype=None if args.transfer == "float32" else args.transfer,
+        tail_mode=args.tail_mode,
     )
 
     def run_single():
@@ -250,6 +301,10 @@ def main():
         "max": max(samples),
         "samples": samples,
     }
+    if args.model != "htdemucs":
+        record["model"] = args.model
+    if args.tail_mode != "exact":
+        record["tail_mode"] = args.tail_mode
     if args.preset != "default":
         record["preset"] = args.preset
     if single is not None:

@@ -49,18 +49,25 @@ def _resolve_device(device: str):
         ) from err
 
 
-def _cast_compute_dtype(model, dtype: str):
-    """Re-config a loaded model (or bag) to run its forward in ``dtype``
-    (e.g. "bfloat16" for the fast preset). Families without a
-    ``compute_dtype`` knob are left at float32."""
+def _apply_precision(model, compute_dtype: tp.Optional[str],
+                     matmul_precision: tp.Optional[str] = None):
+    """Re-config a loaded model (or bag) with a compute-dtype / MXU matmul
+    precision policy (the presets ladder, demucs_tpu/presets.py). Families
+    without the corresponding knob are left unchanged."""
     import dataclasses
 
     from demucs_tpu.models.registry import BagOfModels, Model
 
     def one(m):
-        if hasattr(m.cfg, "compute_dtype") and m.cfg.compute_dtype != dtype:
-            return Model(m.kind, dataclasses.replace(m.cfg, compute_dtype=dtype),
-                         m.params)
+        delta = {}
+        if (compute_dtype and hasattr(m.cfg, "compute_dtype")
+                and m.cfg.compute_dtype != compute_dtype):
+            delta["compute_dtype"] = compute_dtype
+        if (matmul_precision and hasattr(m.cfg, "matmul_precision")
+                and m.cfg.matmul_precision != matmul_precision):
+            delta["matmul_precision"] = matmul_precision
+        if delta:
+            return Model(m.kind, dataclasses.replace(m.cfg, **delta), m.params)
         return m
 
     if isinstance(model, BagOfModels):
@@ -98,6 +105,7 @@ class Separator:
         length_bucket_seconds: tp.Optional[float] = None,
         tail_mode: str = "exact",
         compute_dtype: tp.Optional[str] = None,
+        matmul_precision: tp.Optional[str] = None,
     ):
         """Load a model by name and hold separation parameters.
 
@@ -113,6 +121,7 @@ class Separator:
         self._name = model
         self._repo = repo
         self._compute_dtype = compute_dtype
+        self._matmul_precision = matmul_precision
         self._load_model()
         self.update_parameter(
             device=device, shifts=shifts, overlap=overlap, split=split,
@@ -175,8 +184,11 @@ class Separator:
         self._model = get_model(name=self._name, repo=self._repo)
         if self._model is None:
             raise LoadModelError("Failed to load model")
-        if getattr(self, "_compute_dtype", None):
-            self._model = _cast_compute_dtype(self._model, self._compute_dtype)
+        if (getattr(self, "_compute_dtype", None)
+                or getattr(self, "_matmul_precision", None)):
+            self._model = _apply_precision(
+                self._model, getattr(self, "_compute_dtype", None),
+                getattr(self, "_matmul_precision", None))
         self._audio_channels = self._model.audio_channels
         self._samplerate = self._model.samplerate
 

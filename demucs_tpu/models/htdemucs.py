@@ -109,10 +109,15 @@ class HTDemucsConfig:
     #     (fp32 accumulation; STFT/iSTFT, normalization statistics and
     #     softmax stay fp32). Fastest; output-limited to ~bf16 resolution
     #     (~47 dB SER) because the core's activations are stored rounded.
-    #   "mixed"    — fp32 activations/weights with the 3-pass bf16 MXU
-    #     algorithm (BF16_BF16_F32_X3) for every conv/matmul: near-fp32
-    #     output (>=90 dB SER, tools/precision_sweep.py) at a fraction of
-    #     the 6-pass fp32 MXU cost.
+    #   "mixed"    — fp32 activations/weights with precision HIGH
+    #     ("tensorfloat32" = the 3-pass bf16 MXU algorithm on TPU) for every
+    #     conv AND dot. Measured on v5e at released width
+    #     (tools/precision_sweep.py): 82.5 dB SER vs true fp32 where the
+    #     plain-f32 DEFAULT path (XLA lowers it to 1-pass bf16 MXU) sits at
+    #     58.7 dB — i.e. "mixed" is MORE accurate than default f32, at ~73%
+    #     of its speed. (The explicit dot algorithm BF16_BF16_F32_X3 covers
+    #     dots only, leaving convs at 1-pass — measured no better than
+    #     default; precision HIGH is the string that reaches convolutions.)
     compute_dtype: str = "float32"
     # Explicit per-stage bf16 set ("encoder"/"tencoder"/"transformer"/
     # "decoder"/"tdecoder") — overrides compute_dtype's stage policy when
@@ -122,6 +127,13 @@ class HTDemucsConfig:
     # matmuls (e.g. "bfloat16", "BF16_BF16_F32_X3", "highest"); None = the
     # compute_dtype policy ("mixed" implies BF16_BF16_F32_X3).
     matmul_precision: tp.Optional[str] = None
+    # Per-stage precision overrides ((stage, precision), ...): each named
+    # stage's convs/matmuls trace under that precision, others under
+    # matmul_precision/compute_dtype policy. Since the freq/time branches'
+    # encoders+decoders are convolutions and the transformer is dots, this
+    # doubles as per-op-class precision control (tools/precision_sweep.py
+    # attribution; the engineered quality ladder in BENCHMARKS.md).
+    precision_stages: tp.Tuple[tp.Tuple[str, str], ...] = ()
 
     @property
     def hop_length(self) -> int:
@@ -218,7 +230,10 @@ def _matmul_precision(cfg: HTDemucsConfig) -> tp.Optional[str]:
     if cfg.matmul_precision:
         return cfg.matmul_precision
     if cfg.compute_dtype == "mixed":
-        return "BF16_BF16_F32_X3"
+        # precision HIGH: 3-pass bf16 on the MXU for convs AND dots (the
+        # dot-algorithm strings don't reach convolutions, which dominate
+        # the error — see the class attribute note and precision_sweep.py)
+        return "tensorfloat32"
     return None
 
 
@@ -263,6 +278,10 @@ def _core(
     xt = (xt - meant) / (1e-5 + stdt)
 
     bf16 = _bf16_stage_set(cfg)
+    prec_over = dict(cfg.precision_stages)
+    if set(prec_over) - set(_STAGES):
+        raise ValueError(
+            f"unknown precision_stages {sorted(set(prec_over) - set(_STAGES))}")
 
     def stage_cast(name: str, a: jax.Array) -> jax.Array:
         return a.astype(jnp.bfloat16 if name in bf16 else jnp.float32)
@@ -274,6 +293,12 @@ def _core(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             p)
 
+    def stage_prec(name: str):
+        import contextlib
+
+        p = prec_over.get(name)
+        return jax.default_matmul_precision(p) if p else contextlib.nullcontext()
+
     saved, saved_t, lengths, lengths_t = [], [], [], []
     for idx, spec_l in enumerate(lay.enc):
         lengths.append(x.shape[-1])
@@ -282,8 +307,9 @@ def _core(
             lengths_t.append(xt.shape[-1])
             tspec = lay.tenc[idx]
             xt = stage_cast("tencoder", xt)
-            xt = hl.henc_forward(
-                stage_params("tencoder", params["tencoder"][idx]), tspec, xt)
+            with stage_prec("tencoder"):
+                xt = hl.henc_forward(
+                    stage_params("tencoder", params["tencoder"][idx]), tspec, xt)
             if not tspec.empty:
                 saved_t.append(xt)
             else:
@@ -291,8 +317,10 @@ def _core(
         x = stage_cast("encoder", x)
         if inject is not None:
             inject = stage_cast("encoder", inject)
-        x = hl.henc_forward(
-            stage_params("encoder", params["encoder"][idx]), spec_l, x, inject)
+        with stage_prec("encoder"):
+            x = hl.henc_forward(
+                stage_params("encoder", params["encoder"][idx]), spec_l, x,
+                inject)
         if idx == 0 and lay.freq_emb_bins:
             frs = jnp.arange(x.shape[-2])
             emb = hl.scaled_embedding_forward(
@@ -303,48 +331,56 @@ def _core(
     if cfg.t_layers > 0:
         x = stage_cast("transformer", x)
         xt = stage_cast("transformer", xt)
-        if cfg.bottom_channels:
-            up = stage_params("transformer", params["channel_upsampler"])
-            up_t = stage_params("transformer", params["channel_upsampler_t"])
-            b, c, f, t = x.shape
-            x = x.reshape(b, c, f * t)
-            x = onn.conv1d(x, up["weight"], up["bias"])
-            x = x.reshape(b, -1, f, t)
-            xt = onn.conv1d(xt, up_t["weight"], up_t["bias"])
-        x, xt = crosstransformer_forward(
-            stage_params("transformer", params["crosstransformer"]),
-            transformer_spec(cfg), x, xt,
-            train=train, rng=rng,
-        )
-        if cfg.bottom_channels:
-            down = stage_params("transformer", params["channel_downsampler"])
-            down_t = stage_params("transformer", params["channel_downsampler_t"])
-            b, c, f, t = x.shape
-            x = x.reshape(b, c, f * t)
-            x = onn.conv1d(x, down["weight"], down["bias"])
-            x = x.reshape(b, -1, f, t)
-            xt = onn.conv1d(xt, down_t["weight"], down_t["bias"])
+        with stage_prec("transformer"):
+            if cfg.bottom_channels:
+                up = stage_params("transformer", params["channel_upsampler"])
+                up_t = stage_params("transformer",
+                                    params["channel_upsampler_t"])
+                b, c, f, t = x.shape
+                x = x.reshape(b, c, f * t)
+                x = onn.conv1d(x, up["weight"], up["bias"])
+                x = x.reshape(b, -1, f, t)
+                xt = onn.conv1d(xt, up_t["weight"], up_t["bias"])
+            x, xt = crosstransformer_forward(
+                stage_params("transformer", params["crosstransformer"]),
+                transformer_spec(cfg), x, xt,
+                train=train, rng=rng,
+            )
+            if cfg.bottom_channels:
+                down = stage_params("transformer",
+                                    params["channel_downsampler"])
+                down_t = stage_params("transformer",
+                                      params["channel_downsampler_t"])
+                b, c, f, t = x.shape
+                x = x.reshape(b, c, f * t)
+                x = onn.conv1d(x, down["weight"], down["bias"])
+                x = x.reshape(b, -1, f, t)
+                xt = onn.conv1d(xt, down_t["weight"], down_t["bias"])
 
     x = stage_cast("decoder", x)
     xt = stage_cast("tdecoder", xt)
     for idx, dspec in enumerate(lay.dec):
         skip = stage_cast("decoder", saved.pop(-1))
-        x, pre = hl.hdec_forward(
-            stage_params("decoder", params["decoder"][idx]), dspec, x, skip,
-            lengths.pop(-1))
+        with stage_prec("decoder"):
+            x, pre = hl.hdec_forward(
+                stage_params("decoder", params["decoder"][idx]), dspec, x,
+                skip, lengths.pop(-1))
         offset = cfg.depth - len(lay.tdec)
         if idx >= offset:
             tspec = lay.tdec[idx - offset]
             length_t = lengths_t.pop(-1)
             tdec_params = stage_params(
                 "tdecoder", params["tdecoder"][idx - offset])
-            if tspec.empty:
-                assert pre.shape[2] == 1, pre.shape
-                pre = stage_cast("tdecoder", pre[:, :, 0])
-                xt, _ = hl.hdec_forward(tdec_params, tspec, pre, None, length_t)
-            else:
-                skip_t = stage_cast("tdecoder", saved_t.pop(-1))
-                xt, _ = hl.hdec_forward(tdec_params, tspec, xt, skip_t, length_t)
+            with stage_prec("tdecoder"):
+                if tspec.empty:
+                    assert pre.shape[2] == 1, pre.shape
+                    pre = stage_cast("tdecoder", pre[:, :, 0])
+                    xt, _ = hl.hdec_forward(tdec_params, tspec, pre, None,
+                                            length_t)
+                else:
+                    skip_t = stage_cast("tdecoder", saved_t.pop(-1))
+                    xt, _ = hl.hdec_forward(tdec_params, tspec, xt, skip_t,
+                                            length_t)
 
     assert not saved and not saved_t and not lengths_t
 

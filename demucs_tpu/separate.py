@@ -89,14 +89,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "compiled executable (deviation confined to the "
                         "final chunk; recommended for batch serving, e.g. 30).")
     parser.add_argument("--preset", default="default",
-                        choices=["default", "fast"],
-                        help="'fast' trades a stated amount of quality for "
-                        "throughput: bfloat16 model compute (~+28%% forward) "
-                        "+ int8 stems wire (half the fetch bytes). Typical "
-                        "deviation vs the default path: ~47 dB SER (bf16 "
-                        "compute) / ~44 dB SNR (int8 wire) — well below "
-                        "audibility for preview/monitoring, above PCM16 "
-                        "archival grade. Explicit --wire still wins.")
+                        choices=["default", "fast", "balanced", "quality"],
+                        help="Quality/speed ladder (measured SER vs the "
+                        "true-fp32 forward; demucs_tpu/presets.py): "
+                        "'fast' = bf16 MXU storage + int8 wire (~56 dB, "
+                        "1.37x default speed); default = XLA's 1-pass bf16 "
+                        "MXU lowering of f32 (~59 dB); 'balanced' = 3-pass "
+                        "MXU (~82 dB, 0.73x); 'quality' = 6-pass true fp32 "
+                        "(bit-parity with the CPU/torch reference path, "
+                        "0.61x) + bit-exact wire. Explicit --wire wins.")
     parser.add_argument("--wire", default="auto",
                         choices=["auto", "float32", "float16", "int16", "int8"],
                         help="Wire format of the device engine's stems fetch. "
@@ -128,9 +129,10 @@ def main(opts=None):
         sys.exit(1)
 
     name = args.sig if getattr(args, "sig", None) else args.name
-    from demucs_tpu.presets import resolve_fast_preset
+    from demucs_tpu.presets import resolve_preset
 
-    compute_dtype, wire, banner = resolve_fast_preset(args.preset, args.wire)
+    compute_dtype, matmul_precision, wire, banner = resolve_preset(
+        args.preset, args.wire)
     if banner:
         print(banner)
     if wire == "auto":
@@ -156,6 +158,7 @@ def main(opts=None):
             length_bucket_seconds=args.length_bucket,
             tail_mode=args.tail_mode,
             compute_dtype=compute_dtype,
+            matmul_precision=matmul_precision,
         )
     except ModelLoadingError as error:
         fatal(error.args[0])

@@ -208,24 +208,27 @@ def main(argv=None):
                         choices=[None, "float32", "float16", "int16", "int8"],
                         help="stems transfer dtype (default: bit-exact)")
     parser.add_argument("--preset", default="default",
-                        choices=["default", "fast"],
-                        help="'fast' = bfloat16 compute + int8 wire (the "
-                        "CLI's --preset fast: ~47 dB SER / ~44 dB SNR vs "
-                        "the default path; explicit --wire still wins)")
+                        choices=["default", "fast", "balanced", "quality"],
+                        help="quality/speed ladder (demucs_tpu/presets.py): "
+                        "fast = bf16 + int8 wire; balanced = 3-pass MXU "
+                        "(~82 dB vs true fp32); quality = 6-pass true fp32 "
+                        "+ bit-exact wire; explicit --wire still wins")
     parser.add_argument("--warmup-seconds", type=float, default=None,
                         help="compile the engine on a silent track of this "
                         "length before accepting requests")
     args = parser.parse_args(argv)
 
-    from demucs_tpu.presets import resolve_fast_preset
+    from demucs_tpu.presets import resolve_preset
 
-    compute_dtype, args.wire, banner = resolve_fast_preset(args.preset, args.wire)
+    compute_dtype, matmul_precision, args.wire, banner = resolve_preset(
+        args.preset, args.wire)
     if banner:
         print(banner, flush=True)
     service = SeparationService(
         model=args.name, repo=args.repo, shifts=args.shifts,
         overlap=args.overlap, segment=args.segment, engine=args.engine,
         transfer_dtype=args.wire, compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
     )
     if args.warmup_seconds:
         sep = service.separator

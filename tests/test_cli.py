@@ -201,14 +201,26 @@ def test_fast_preset_casts_htdemucs_compute(monkeypatch):
         assert snr > 25, (name, snr)
 
 
-def test_resolve_fast_preset_contract():
-    """Single source of truth for the fast preset: explicit wire wins and the
-    banner states the wire actually in effect."""
-    from demucs_tpu.presets import resolve_fast_preset
+def test_resolve_preset_contract():
+    """Single source of truth for the preset ladder: explicit wire wins and
+    the banner states the wire actually in effect."""
+    import pytest
+
+    from demucs_tpu.presets import resolve_fast_preset, resolve_preset
 
     assert resolve_fast_preset("default", "auto") == (None, "auto", None)
     dt, wire, banner = resolve_fast_preset("fast", "auto")
     assert (dt, wire) == ("bfloat16", "int8") and "int8" in banner
     dt, wire, banner = resolve_fast_preset("fast", "float32")
     assert (dt, wire) == ("bfloat16", "float32")
-    assert "float32 stems wire" in banner and "override" in banner
+    assert "stems wire: float32" in banner and "override" in banner
+
+    dt, prec, wire, banner = resolve_preset("balanced", "auto")
+    assert (dt, prec, wire) == (None, "tensorfloat32", "auto")
+    assert "82 dB" in banner
+    dt, prec, wire, banner = resolve_preset("quality", None)
+    assert (dt, prec, wire) == (None, "highest", "float32")
+    dt, prec, wire, banner = resolve_preset("quality", "int16")
+    assert wire == "int16" and "override" in banner
+    with pytest.raises(ValueError, match="preset"):
+        resolve_preset("turbo", None)

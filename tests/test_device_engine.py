@@ -343,3 +343,23 @@ def test_tail_mode_uniform_optin(kind):
     with pytest.raises(ValueError, match="tail_mode"):
         device_apply_model(mdl, mix, shifts=0, segment=segment,
                            tail_mode="bogus")
+
+
+def test_mdx_era_bag_segment_override_scaled():
+    """Scaled analog of the mdx_extra serving geometry: a 4-member hdemucs
+    bag whose BagOfModels segment override bumps every member (the zoo's
+    'segment: 44' yaml key, zoo/repo.py), track shorter than 2 segments so
+    the grid is one full chunk + one ragged tail — host vs device parity
+    through the exact-tails path."""
+    mdls = [_non_ht_model("hdemucs") for _ in range(2)]
+    bag = BagOfModels(mdls, segment=0.5)
+    assert all(abs(m.segment - 0.5) < 1e-9 for m in bag.models)
+
+    sr = mdls[0].samplerate
+    L = int(60 / 44 * 0.5 * sr)  # the 60-s-track : 44-s-segment ratio
+    mix = random_mix((1, 2, L), seed=45)
+    want = apply_model(bag, mix, shifts=0, split=True, overlap=0.25,
+                       engine="host")
+    got = device_apply_model(bag, mix, shifts=0, overlap=0.25,
+                             transfer_dtype=None, input_transfer_dtype=None)
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)

@@ -72,7 +72,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="pin compute to CPU")
     ap.add_argument("--cases", default="all",
-                    choices=["all", "stage", "matmul", "headline", "frontier"])
+                    choices=["all", "stage", "matmul", "headline", "frontier",
+                             "attribution"])
     args = ap.parse_args()
 
     import jax
@@ -122,6 +123,24 @@ def main():
         for alg in ("bfloat16", "tensorfloat32", "BF16_BF16_F32_X3",
                     "BF16_BF16_F32_X6"):
             cases.append((f"matmul {alg}", dict(matmul_precision=alg)))
+    if args.cases in ("all", "attribution"):
+        # conv vs dot attribution: the enc/dec stages are convolutions, the
+        # transformer is dots — raise each op class independently. On TPU
+        # "tensorfloat32" = precision HIGH = 3-pass bf16, "highest" = 6-pass.
+        conv_stages = tuple(s for s in stages if s != "transformer")
+        cv = lambda p: tuple((s, p) for s in conv_stages)
+        cases += [
+            ("convs highest", dict(precision_stages=cv("highest"))),
+            ("dots highest",
+             dict(precision_stages=(("transformer", "highest"),))),
+            ("convs tf32", dict(precision_stages=cv("tensorfloat32"))),
+            ("convs highest + dots tf32",
+             dict(precision_stages=cv("highest")
+                  + (("transformer", "tensorfloat32"),))),
+            ("convs tf32 + transformer bf16 storage",
+             dict(precision_stages=cv("tensorfloat32"),
+                  bf16_stages=("transformer",))),
+        ]
 
     ref_out = None
     default_out = None
