@@ -107,8 +107,10 @@ class HTDemucsConfig:
     #   "float32"  — exact parity (default).
     #   "bfloat16" — MXU-native bf16 activations/weights in every core stage
     #     (fp32 accumulation; STFT/iSTFT, normalization statistics and
-    #     softmax stay fp32). Fastest; output-limited to ~bf16 resolution
-    #     (~47 dB SER) because the core's activations are stored rounded.
+    #     softmax stay fp32). Fastest (1.38x default); ~56 dB SER vs true
+    #     fp32 because the core's activations are stored rounded — only
+    #     ~3 dB below the default f32 path's own distance from true fp32
+    #     (BENCHMARKS.md "Precision ladder").
     #   "mixed"    — fp32 activations/weights with precision HIGH
     #     ("tensorfloat32" = the 3-pass bf16 MXU algorithm on TPU) for every
     #     conv AND dot. Measured on v5e at released width
