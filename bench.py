@@ -87,6 +87,9 @@ def main():
                         "across repeats).")
     parser.add_argument("--tail-mode", default="exact",
                         choices=["exact", "uniform"])
+    parser.add_argument("--length-bucket", type=float, default=None,
+                        help="length_bucket_seconds: quantize track length "
+                        "so one executable serves many lengths")
     args = parser.parse_args()
     # sentinel-None defaults: an explicitly passed --dtype/--transfer always
     # wins over the preset (the shared contract in demucs_tpu/presets.py)
@@ -167,6 +170,7 @@ def main():
         batch_size=args.batch_size,
         transfer_dtype=None if args.transfer == "float32" else args.transfer,
         tail_mode=args.tail_mode,
+        length_bucket_seconds=args.length_bucket,
     )
 
     def run_single():
@@ -269,7 +273,7 @@ def main():
         # on-device — the pure dispatch+compute path, no host link at either
         # end. no_fetch - device_resident is the input upload; headline -
         # no_fetch is the stems download (BENCHMARKS.md breakdown).
-        if dkw["mesh"] is None:
+        if dkw["mesh"] is None and args.length_bucket is None:
             staged = stage_track(
                 model, mixes[0], shifts=args.shifts,
                 input_transfer_dtype=(None if args.transfer == "float32"

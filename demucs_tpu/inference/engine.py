@@ -18,6 +18,14 @@ Numerics are identical to apply.py / the reference: segment offsets, centered
 TensorChunk padding (apply.py:108-124), triangular weights ^ transition_power
 (apply.py:271-276), per-source bag weights and shift averaging — all expressed
 with traced offset arithmetic so one executable serves every random shift.
+
+Kinds whose leaf padding target depends on the chunk length (demucs v2's
+``valid_length``, hdemucs, htdemucs without ``use_train_segment`` — reference
+apply.py:302-309) additionally run each ragged tail chunk at its EXACT
+per-length target through a small cached program (``_build_tail_fn``), making
+the engine bit-exact for every chunk of every kind; ``tail_mode="uniform"``
+opts back into the single-executable uniform-target pass for
+throughput-critical serving (see ``_dispatch_track``).
 """
 
 from __future__ import annotations
