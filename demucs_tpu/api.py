@@ -86,6 +86,17 @@ def _device_scope(jax_device):
 
 
 class Separator:
+    # Class-level defaults for the beyond-reference knobs: a Separator built
+    # the reference way (object.__new__ + update_parameter with only the
+    # reference's parameters — api parity tests do this) stays functional.
+    _batch_size = 16
+    _engine = "auto"
+    _transfer_dtype = None
+    _length_bucket_seconds = None
+    _tail_mode = "exact"
+    _compute_dtype = None
+    _matmul_precision = None
+
     def __init__(
         self,
         model: str = "htdemucs",

@@ -111,6 +111,7 @@ def _make_pass_body(kind: str, cfg, length: int, max_shift: int, segment_length:
 
     batch_size, n_batches, n_pad = _segment_grid(
         length, max_shift, stride, batch_size, shard_size)
+    per = n_batches * batch_size  # segments per shard (== n_pad / shard_size)
     margin = target  # slack so every centered window stays in bounds
 
     weight_np = _triangle_weight_np(segment_length, transition_power)

@@ -351,7 +351,15 @@ def test_mdx_era_bag_segment_override_scaled():
     'segment: 44' yaml key, zoo/repo.py), track shorter than 2 segments so
     the grid is one full chunk + one ragged tail — host vs device parity
     through the exact-tails path."""
-    mdls = [_non_ht_model("hdemucs") for _ in range(2)]
+    import dataclasses
+
+    mdls = []
+    for _ in range(2):
+        m = _non_ht_model("hdemucs")
+        # members train at 0.4; the bag yaml bumps them to 0.5 (the zoo's
+        # 40 -> 44 pattern; BagOfModels only raises, never lowers)
+        m.cfg = dataclasses.replace(m.cfg, segment=0.4)
+        mdls.append(m)
     bag = BagOfModels(mdls, segment=0.5)
     assert all(abs(m.segment - 0.5) < 1e-9 for m in bag.models)
 

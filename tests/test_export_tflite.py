@@ -4,16 +4,23 @@ flatbuffer in-browser against the fork's meta.json contract,
 /root/reference/web/src/index.ts:18-433)."""
 
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
+
+# import the tool as a top-level module (the established pattern,
+# test_export_tf.py) — the 'tools' package name would be shadowed by the
+# reference checkout's tools/ once torchref puts it on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 tf = pytest.importorskip("tensorflow")
 
 
 def test_tflite_roundtrip(tmp_path):
     from demucs_tpu.models import htdemucs as ht
-    from tools.export_tflite import export_tflite_core
+    from export_tflite import export_tflite_core
 
     cfg = ht.HTDemucsConfig(channels=16, depth=4, nfft=2048, t_layers=3,
                             t_heads=4, segment=0.5, samplerate=8000)

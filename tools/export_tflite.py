@@ -25,6 +25,10 @@ Usage:
 """
 import sys as _sys, pathlib as _pl
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+# the tools dir itself too: importing sibling tools as top-level modules
+# stays correct even when /root/reference (whose tools/ is a regular
+# package) sits on sys.path (tests/torchref.py inserts it)
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 
 import argparse
 import json
@@ -77,7 +81,7 @@ def export_tflite_core(params, cfg, out: Path, sample_inputs=None):
     if tfl is None:
         import tempfile
 
-        from tools.export_tf import export_tf_core
+        from export_tf import export_tf_core
 
         with tempfile.TemporaryDirectory() as td:
             export_tf_core(params, cfg, Path(td), sample_inputs=(mag, mix))
