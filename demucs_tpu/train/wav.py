@@ -27,63 +27,67 @@ MIXTURE = "mixture"
 EXT = ".wav"
 
 
+def _synth_mixture(track: Path, sources, ext: str) -> None:
+    """Write ``mixture.wav`` as the float sum of the stems (the reference
+    synthesizes it when a dataset ships stems only, wav.py:37-46)."""
+    total = None
+    sr = None
+    for source in sources:
+        stem, sr = dta.read_wav(track / f"{source}{ext}")
+        total = stem if total is None else total + stem
+    dta.write_wav(track / f"{MIXTURE}{ext}", total, sr, as_float=True)
+
+
 def _track_metadata(track: Path, sources, normalize=True, ext=EXT) -> dict:
-    track_length = None
-    track_samplerate = None
-    mean = 0.0
-    std = 1.0
+    """Per-track cache entry: frames / samplerate shared by every stem
+    (validated), plus the mixture's mono mean/std for track normalization
+    (unbiased std — torch ``.std()`` semantics, wav.py:72)."""
+    out = {"length": None, "samplerate": None, "mean": 0.0, "std": 1.0}
     for source in list(sources) + [MIXTURE]:
         file = track / f"{source}{ext}"
         if source == MIXTURE and not file.exists():
-            # Synthesize mixture by summing stems (wav.py:37-46).
-            audio = None
-            sr = None
-            for sub_source in sources:
-                sub_audio, sr = dta.read_wav(track / f"{sub_source}{ext}")
-                audio = sub_audio if audio is None else audio + sub_audio
-            dta.write_wav(file, audio, sr, as_float=True)
-
+            _synth_mixture(track, sources, ext)
         info = dta.wav_info(file)
-        length = info["frames"]
-        if track_length is None:
-            track_length = length
-            track_samplerate = info["samplerate"]
-        elif track_length != length:
+        if out["length"] is None:
+            out["length"] = info["frames"]
+            out["samplerate"] = info["samplerate"]
+        elif info["frames"] != out["length"]:
             raise ValueError(
-                f"Invalid length for file {file}: "
-                f"expecting {track_length} but got {length}.")
-        elif info["samplerate"] != track_samplerate:
+                f"stem length mismatch in {file}: {info['frames']} frames "
+                f"where the track's other stems have {out['length']}")
+        elif info["samplerate"] != out["samplerate"]:
             raise ValueError(
-                f"Invalid sample rate for file {file}: "
-                f"expecting {track_samplerate} but got {info['samplerate']}.")
+                f"stem sample-rate mismatch in {file}: {info['samplerate']} "
+                f"where the track's other stems have {out['samplerate']}")
         if source == MIXTURE and normalize:
-            wav, _ = dta.read_wav(file)
-            mono = wav.mean(0)
-            mean = float(mono.mean())
-            # torch .std() is unbiased (ddof=1, wav.py:72) — the cached
-            # metadata normalization must match the reference's
-            std = float(mono.std(ddof=1))
-    return {"length": track_length, "mean": mean, "std": std,
-            "samplerate": track_samplerate}
+            mono = dta.read_wav(file)[0].mean(0)
+            out["mean"] = float(mono.mean())
+            out["std"] = float(mono.std(ddof=1))
+    return out
+
+
+def _leaf_track_dirs(path: Path) -> tp.Iterator[Path]:
+    """Yield track directories: non-hidden LEAF dirs below ``path`` (a track
+    folder holds only stem files; symlinks followed, like the reference's
+    walk, wav.py:82-90)."""
+    for root, folders, _files in os.walk(path, followlinks=True):
+        root = Path(root)
+        if root == path or folders or root.name.startswith("."):
+            continue
+        yield root
 
 
 def build_metadata(path, sources, normalize=True, ext=EXT) -> dict:
-    """Walk a dataset dir and build the Wavset metadata (wav.py:78-104)."""
-    meta = {}
-    path = Path(path)
-    pendings = []
+    """Scan a dataset dir into the Wavset metadata cache (wav.py:78-104);
+    per-track scans run on a thread pool (host IO bound)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    path = Path(path)
     with ThreadPoolExecutor(8) as pool:
-        for root, folders, files in os.walk(path, followlinks=True):
-            root = Path(root)
-            if root.name.startswith(".") or folders or root == path:
-                continue
-            name = str(root.relative_to(path))
-            pendings.append((name, pool.submit(_track_metadata, root, sources, normalize, ext)))
-        for name, pending in pendings:
-            meta[name] = pending.result()
-    return meta
+        jobs = [(str(d.relative_to(path)),
+                 pool.submit(_track_metadata, d, sources, normalize, ext))
+                for d in _leaf_track_dirs(path)]
+        return {name: job.result() for name, job in jobs}
 
 
 class Wavset:
@@ -100,71 +104,76 @@ class Wavset:
         self.channels = channels
         self.samplerate = samplerate
         self.ext = ext
-        self.num_examples = []
-        for name, meta in self.metadata.items():
-            track_duration = meta["length"] / meta["samplerate"]
-            if segment is None or track_duration < segment:
-                examples = 1
-            else:
-                examples = int(math.ceil((track_duration - self.segment) / self.shift) + 1)
-            self.num_examples.append(examples)
+        # examples per track: strided (segment, shift) windows; a track
+        # shorter than one segment still yields one (padded) example —
+        # reference indexing law, wav.py:128-135
+        self.num_examples = [
+            1 if segment is None or m["length"] / m["samplerate"] < segment
+            else int(math.ceil(
+                (m["length"] / m["samplerate"] - segment) / self.shift) + 1)
+            for m in self.metadata.values()
+        ]
+        # cumulative bounds let __getitem__ locate the owning track with one
+        # searchsorted instead of the reference's subtraction walk
+        self._bounds = np.cumsum([0] + self.num_examples)
+        self._names = list(self.metadata)
 
     def __len__(self):
-        return sum(self.num_examples)
+        return int(self._bounds[-1])
 
     def get_file(self, name, source) -> Path:
         return self.root / name / f"{source}{self.ext}"
 
     def __getitem__(self, index: int) -> np.ndarray:
-        for name, examples in zip(self.metadata, self.num_examples):
-            if index >= examples:
-                index -= examples
-                continue
-            meta = self.metadata[name]
-            num_frames = None
-            offset = 0
-            if self.segment is not None:
-                offset = int(meta["samplerate"] * self.shift * index)
-                num_frames = int(math.ceil(meta["samplerate"] * self.segment))
-            example = None
-            if num_frames is not None and self.ext == EXT:
-                # GIL-free C++ decode when the native runtime is built
-                # (demucs_tpu/native.py; zero-pads + channel-converts in C++).
-                from demucs_tpu import native
+        if not 0 <= index < len(self):
+            raise IndexError(index)
+        track_i = int(np.searchsorted(self._bounds, index, side="right")) - 1
+        name = self._names[track_i]
+        window = index - int(self._bounds[track_i])
+        meta = self.metadata[name]
+        num_frames = None
+        offset = 0
+        if self.segment is not None:
+            offset = int(meta["samplerate"] * self.shift * window)
+            num_frames = int(math.ceil(meta["samplerate"] * self.segment))
+        example = None
+        if num_frames is not None and self.ext == EXT:
+            # GIL-free C++ decode when the native runtime is built
+            # (demucs_tpu/native.py; zero-pads + channel-converts in C++).
+            from demucs_tpu import native
 
-                if native.available():
-                    # Request only the frames that exist: tail padding must
-                    # happen AFTER normalization (below) so padded samples are
-                    # true zeros, exactly like the Python path / the
-                    # reference (demucs/wav.py:163-184).
-                    avail = max(0, int(meta["length"]) - offset)
-                    want = min(num_frames, avail)
-                    parts = [
-                        native.read_wav_window(self.get_file(name, source),
-                                               offset, want, self.channels)
-                        for source in self.sources
-                    ] if want > 0 else None
-                    if parts is not None and all(p is not None for p in parts):
-                        example = np.stack(parts)
-            if example is None:
-                wavs = []
-                for source in self.sources:
-                    wav, _ = dta.read_wav(self.get_file(name, source),
-                                          frame_offset=offset, num_frames=num_frames)
-                    wav = dta.convert_audio_channels(wav, self.channels)
-                    wavs.append(wav)
-                example = np.stack(wavs)  # (S, C, T)
-            example = dta.resample(example, meta["samplerate"], self.samplerate)
-            if self.normalize:
-                example = (example - meta["mean"]) / meta["std"]
-            if self.segment:
-                length = int(self.segment * self.samplerate)
-                example = example[..., :length]
-                pad = length - example.shape[-1]
-                if pad:
-                    example = np.pad(example, [(0, 0)] * (example.ndim - 1) + [(0, pad)])
-            return example.astype(np.float32)
-        raise IndexError(index)
+            if native.available():
+                # Request only the frames that exist: tail padding must
+                # happen AFTER normalization (below) so padded samples are
+                # true zeros, exactly like the Python path / the
+                # reference (demucs/wav.py:163-184).
+                avail = max(0, int(meta["length"]) - offset)
+                want = min(num_frames, avail)
+                parts = [
+                    native.read_wav_window(self.get_file(name, source),
+                                           offset, want, self.channels)
+                    for source in self.sources
+                ] if want > 0 else None
+                if parts is not None and all(p is not None for p in parts):
+                    example = np.stack(parts)
+        if example is None:
+            wavs = []
+            for source in self.sources:
+                wav, _ = dta.read_wav(self.get_file(name, source),
+                                      frame_offset=offset, num_frames=num_frames)
+                wav = dta.convert_audio_channels(wav, self.channels)
+                wavs.append(wav)
+            example = np.stack(wavs)  # (S, C, T)
+        example = dta.resample(example, meta["samplerate"], self.samplerate)
+        if self.normalize:
+            example = (example - meta["mean"]) / meta["std"]
+        if self.segment:
+            length = int(self.segment * self.samplerate)
+            example = example[..., :length]
+            pad = length - example.shape[-1]
+            if pad:
+                example = np.pad(example, [(0, 0)] * (example.ndim - 1) + [(0, pad)])
+        return example.astype(np.float32)
 
 
 # The MUSDB18 train/valid split, from the musdb package's mus.yaml
