@@ -52,20 +52,38 @@ def _resolve_device(device: str):
 def _apply_precision(model, compute_dtype: tp.Optional[str],
                      matmul_precision: tp.Optional[str] = None):
     """Re-config a loaded model (or bag) with a compute-dtype / MXU matmul
-    precision policy (the presets ladder, demucs_tpu/presets.py). Families
-    without the corresponding knob are left unchanged."""
+    precision policy (the presets ladder, demucs_tpu/presets.py).
+
+    ``matmul_precision`` (balanced/quality presets) applies to every family;
+    ``compute_dtype`` (the bf16-storage fast preset) exists only on HTDemucs
+    — a loud warning is emitted when it cannot take effect, so the preset
+    banner's quality contract is never silently wrong for a family."""
     import dataclasses
+    import warnings
 
     from demucs_tpu.models.registry import BagOfModels, Model
 
     def one(m):
         delta = {}
-        if (compute_dtype and hasattr(m.cfg, "compute_dtype")
-                and m.cfg.compute_dtype != compute_dtype):
-            delta["compute_dtype"] = compute_dtype
-        if (matmul_precision and hasattr(m.cfg, "matmul_precision")
-                and m.cfg.matmul_precision != matmul_precision):
-            delta["matmul_precision"] = matmul_precision
+        if compute_dtype:
+            if hasattr(m.cfg, "compute_dtype"):
+                if m.cfg.compute_dtype != compute_dtype:
+                    delta["compute_dtype"] = compute_dtype
+            else:
+                warnings.warn(
+                    f"compute_dtype={compute_dtype!r} has no effect on "
+                    f"{m.kind!r} models (only HTDemucs has the bf16-storage "
+                    "knob); this member keeps its default numerics",
+                    stacklevel=3)
+        if matmul_precision:
+            if hasattr(m.cfg, "matmul_precision"):
+                if m.cfg.matmul_precision != matmul_precision:
+                    delta["matmul_precision"] = matmul_precision
+            else:
+                warnings.warn(
+                    f"matmul_precision={matmul_precision!r} has no effect on "
+                    f"{m.kind!r} models; this member keeps its default "
+                    "numerics", stacklevel=3)
         if delta:
             return Model(m.kind, dataclasses.replace(m.cfg, **delta), m.params)
         return m

@@ -753,8 +753,11 @@ def _dispatch_track(
     ``tail_mode`` (length-dependent-target kinds only): "exact" (default)
     runs each ragged tail chunk at its reference leaf target — bit-exact,
     but every NEW tail shape costs a small executable compile+load (random
-    shift offsets make tail lengths vary per track; ~seconds each on this
-    relay). "uniform" pads every chunk to the uniform
+    shift offsets make tail lengths vary per track; measured ~75 s first
+    load per new tail executable on this deployment's remote relay —
+    seconds on a directly-attached TPU — so serving with random shifts can
+    stall minutes on unseen offsets; pin offsets, prewarm, or pick
+    "uniform"/shifts=0). "uniform" pads every chunk to the uniform
     ``leaf_target(segment_length)`` — one executable total, full chunks
     bit-exact, tail chunks see slightly more real context than the
     reference's per-length padding (apply.py:302-309). Uniform-target

@@ -67,6 +67,10 @@ class HDemucsConfig:
     # Metadata
     samplerate: int = 44100
     segment: float = 40.0
+    # Explicit jax matmul precision for the forward's convs/matmuls (e.g.
+    # "tensorfloat32" = 3-pass bf16 MXU, "highest" = exact) — the knob the
+    # presets ladder sets (demucs_tpu/presets.py). None = backend default.
+    matmul_precision: tp.Optional[str] = None
 
     @property
     def hop_length(self) -> int:
@@ -114,6 +118,22 @@ def forward(
     rng: tp.Optional[jax.Array] = None,
 ) -> jax.Array:
     """``mix (B, C, L)`` -> stems ``(B, S, C, L)`` (hdemucs.py:689-794)."""
+    import contextlib
+
+    scope = (jax.default_matmul_precision(cfg.matmul_precision)
+             if cfg.matmul_precision else contextlib.nullcontext())
+    with scope:
+        return _forward_body(params, mix, cfg, train=train, rng=rng)
+
+
+def _forward_body(
+    params: dict,
+    mix: jax.Array,
+    cfg: HDemucsConfig,
+    *,
+    train: bool,
+    rng: tp.Optional[jax.Array],
+) -> jax.Array:
     del rng
     lay = layout(cfg)
     length = mix.shape[-1]

@@ -127,7 +127,8 @@ class HTDemucsConfig:
     bf16_stages: tp.Tuple[str, ...] = ()
     # Explicit jax matmul precision / dot algorithm for the core's convs and
     # matmuls (e.g. "bfloat16", "BF16_BF16_F32_X3", "highest"); None = the
-    # compute_dtype policy ("mixed" implies BF16_BF16_F32_X3).
+    # compute_dtype policy ("mixed" implies "tensorfloat32" = precision HIGH,
+    # the string that reaches convolutions — see _matmul_precision below).
     matmul_precision: tp.Optional[str] = None
     # Per-stage precision overrides ((stage, precision), ...): each named
     # stage's convs/matmuls trace under that precision, others under

@@ -201,6 +201,39 @@ def test_fast_preset_casts_htdemucs_compute(monkeypatch):
         assert snr > 25, (name, snr)
 
 
+def test_precision_presets_reach_all_families():
+    """balanced/quality's matmul_precision knob exists on every model family
+    (hdemucs/demucs gained the config field in round 5 — previously
+    _apply_precision silently no-op'd while the banner promised ~82 dB), and
+    the htdemucs-only compute_dtype knob warns instead of silently no-op'ing."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from demucs_tpu.api import _apply_precision
+    from demucs_tpu.models.demucs import DemucsConfig
+    from demucs_tpu.zoo.pretrained import demucs_unittest
+
+    model = demucs_unittest()
+    out = _apply_precision(model, None, "tensorfloat32")
+    assert out.cfg.matmul_precision == "tensorfloat32"
+    assert DemucsConfig().matmul_precision is None  # field exists
+
+    with pytest.warns(UserWarning, match="compute_dtype.*no effect"):
+        _apply_precision(model, "bfloat16", None)
+
+    # The scoped forward still runs (precision strings are harmless on CPU)
+    # and matches the unscoped f32 forward on this backend.
+    mix = np.random.default_rng(0).standard_normal((1, 2, 4096)).astype(
+        np.float32) * 0.1
+    ref = model.forward_fn()(model.params, mix)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no stray warnings from the hot path
+        got = out.forward_fn()(out.params, mix)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_resolve_preset_contract():
     """Single source of truth for the preset ladder: explicit wire wins and
     the banner states the wire actually in effect."""

@@ -158,14 +158,20 @@ def align_stems(stems):
         a = np.pad(ref_grid, (0, n - len(ref_grid)))
         b = np.pad(g, (0, n - len(g)))
         full = np.correlate(b, a, mode="full")  # index n-1 <-> lag 0
-        pos_lags = np.arange(0, max_lag)
+        # `full` has 2n-1 entries (lags -(n-1)..n-1): clamp the scored lag
+        # range to n so short (<4 s) grids cannot index past the end.
+        pos_lags = np.arange(0, min(max_lag, n))
+        # Lag cells -> sample shifts with the reference's exact conversion
+        # int(lag * 0.005 * 44100) (automix.py:156) — truncating the
+        # *product*, not the per-cell width (220.5 -> 220 would drift ~1
+        # sample per 2 cells).
         cand = list(zip(full[pos_lags + n - 1],
-                        pos_lags * int(GRID_MS * SR)))
+                        (pos_lags * GRID_MS * SR).astype(int)))
         for lag in range(-max_lag, 0):
             tail = ref_grid[lag:]
             k = min(len(g), len(tail))
             cand.append((float(tail[:k] @ g[:k]),
-                         lag * int(GRID_MS * SR)))
+                         int(lag * GRID_MS * SR)))
         best = max(cand)[1]
         shifts.append(-best)
 
