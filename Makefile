@@ -24,7 +24,11 @@ sdr:
 native:
 	g++ -O3 -shared -fPIC -pthread -std=c++17 native/wavio.cpp -o native/wavio.so
 
+# Fails on findings (no `|| true`): the built-in AST pass always runs;
+# flake8/mypy run additionally wherever they are installed (setup.cfg /
+# mypy.ini; this offline image ships neither). demucs_tpu/py.typed marks the
+# package as typed for downstream consumers.
 lint:
-	python -m flake8 --max-line-length=100 demucs_tpu tests || true
+	python tools/lint.py
 
 .PHONY: all tests test_eval test_train bench sdr native lint

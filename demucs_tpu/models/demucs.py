@@ -244,7 +244,8 @@ def init_demucs(cfg: DemucsConfig, seed: int = 0) -> dict:
                 enc[pos + 1] = ini.norm(ch_scale * channels)
         params["encoder"][index] = enc
 
-        out_channels = lay.channels[index - 1] if index > 0 else len(cfg.sources) * cfg.audio_channels
+        out_channels = (lay.channels[index - 1] if index > 0
+                        else len(cfg.sources) * cfg.audio_channels)
         dec: dict = {}
         pos = 0
         if cfg.rewrite:

@@ -18,6 +18,7 @@ setup(
     long_description=(HERE / "README.md").read_text(),
     long_description_content_type="text/markdown",
     packages=find_packages(include=["demucs_tpu", "demucs_tpu.*"]),
+    package_data={"demucs_tpu": ["py.typed"]},
     python_requires=">=3.10",
     install_requires=[
         "jax",

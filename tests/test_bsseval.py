@@ -4,7 +4,6 @@ environment, so correctness rests on cases whose metric values are known
 from the definition (perfect/filtered/interfered/noisy estimates)."""
 
 import numpy as np
-import pytest
 
 from demucs_tpu.ops.bsseval import bss_eval_images, project
 

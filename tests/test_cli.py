@@ -3,7 +3,6 @@ model — our version of the reference's ``make test_eval`` (SURVEY.md §4):
 plain, --two-stems, --int24, --clip-mode clamp, --float32, --segment,
 --list-models; plus audio I/O roundtrips."""
 
-import sys
 
 import numpy as np
 import pytest

@@ -5,7 +5,6 @@ bag averaging as one jitted program; outputs must match the host engine
 (which is itself reference-parity-tested) to float32 tolerance.
 """
 
-import random
 
 import numpy as np
 import pytest
@@ -104,7 +103,8 @@ def test_device_engine_matches_host_shifts(model):
     want = apply_model(model, mix, shifts=2, split=True, overlap=0.25,
                        engine="host", rng=_FixedOffsets(offsets))
     got = device_apply_model(model, mix, shifts=2, overlap=0.25,
-                             transfer_dtype=None, input_transfer_dtype=None, rng=_FixedOffsets(offsets))
+                             transfer_dtype=None, input_transfer_dtype=None,
+                             rng=_FixedOffsets(offsets))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
@@ -133,7 +133,8 @@ def test_device_engine_bag(model):
     L = int(1.4 * model.segment * model.samplerate)
     mix = random_mix((1, 2, L), seed=32)
     want = apply_model(bag, mix, shifts=0, split=True, overlap=0.25, engine="host")
-    got = device_apply_model(bag, mix, shifts=0, overlap=0.25, transfer_dtype=None, input_transfer_dtype=None)
+    got = device_apply_model(bag, mix, shifts=0, overlap=0.25,
+                             transfer_dtype=None, input_transfer_dtype=None)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 

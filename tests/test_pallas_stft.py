@@ -8,7 +8,6 @@ with the XLA matmul-DFT path)."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from demucs_tpu.ops import spec as S

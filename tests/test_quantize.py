@@ -4,7 +4,6 @@ pseudo-noise / STE / hard-quant transforms, and a full DiffQ solver smoke run
 round-trips through the decoder and the native .dmx container)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,7 +11,7 @@ import jax.numpy as jnp
 from test_train_smoke import SR, dataset_root, _make_args  # noqa: F401 (fixture)
 
 from demucs_tpu.train.quantize import (
-    QuantSpec, bits_from_logits, eval_params, hard_quantized_state,
+    QuantSpec, bits_from_logits, eval_params,
     init_logits, model_size_mb, noisy_params, quantized_param_names,
     ste_params,
 )

@@ -16,9 +16,11 @@ def test_sharded_matches_single(cpu_devices):
     L = int(2.2 * model.segment * model.samplerate)
     mix = random_mix((1, 2, L), seed=40)
 
-    single = device_apply_model(model, mix, shifts=0, transfer_dtype=None, input_transfer_dtype=None)
+    single = device_apply_model(model, mix, shifts=0, transfer_dtype=None,
+                                input_transfer_dtype=None)
     mesh = make_mesh(8, platform="cpu")
-    sharded = sharded_apply_model(model, mix, mesh=mesh, shifts=0, transfer_dtype=None, input_transfer_dtype=None)
+    sharded = sharded_apply_model(model, mix, mesh=mesh, shifts=0,
+                                  transfer_dtype=None, input_transfer_dtype=None)
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, atol=5e-5, rtol=1e-4)
 

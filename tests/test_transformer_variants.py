@@ -9,7 +9,6 @@ import jax
 import jax.numpy as jnp
 
 from common import SOURCES, make_htdemucs_pair, random_mix
-from torchref import import_reference, torch_state_to_params
 
 from demucs_tpu.models import htdemucs as jht
 

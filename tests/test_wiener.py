@@ -15,7 +15,7 @@ import torch
 import jax.numpy as jnp
 
 from common import SOURCES, random_mix
-from torchref import import_reference, torch_state_to_params
+from torchref import import_reference
 
 from demucs_tpu.ops.wiener import wiener
 

@@ -35,7 +35,6 @@ optional ``{xps}/{sig}/best.th`` / ``checkpoint.th`` package next to it.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import typing as tp

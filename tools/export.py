@@ -27,8 +27,7 @@ def main():
     parser.add_argument("--outdir", type=Path, default=Path("outputs"))
     args = parser.parse_args()
 
-    from demucs_tpu.models.registry import Model
-    from demucs_tpu.train.config import TrainArgs, apply_overrides
+    from demucs_tpu.train.config import TrainArgs
     from demucs_tpu.train.train import get_model
     from demucs_tpu.zoo.native import save_with_checksum
 

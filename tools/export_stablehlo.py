@@ -16,7 +16,6 @@ _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import argparse
 from pathlib import Path
 
-import numpy as np
 
 
 def export_core(params, cfg, out: Path) -> tuple:

@@ -8,7 +8,6 @@ _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 
 
 import argparse
-import dataclasses
 import time
 
 import numpy as np
@@ -31,7 +30,6 @@ def main():
     args = parser.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from demucs_tpu.models import htdemucs as ht
 

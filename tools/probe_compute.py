@@ -7,12 +7,11 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from demucs_tpu.models import htdemucs as ht
 from demucs_tpu.models import hlayers as hl
 from demucs_tpu.models.transformer import crosstransformer_forward
-from demucs_tpu.ops.spec import cac_pack, cac_unpack, demucs_ispec, demucs_spec
+from demucs_tpu.ops.spec import cac_pack, demucs_spec
 
 
 def timed(fn, *a, n=3):

@@ -12,7 +12,6 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from demucs_tpu.models import htdemucs as ht
 from demucs_tpu.models.transformer import crosstransformer_forward

@@ -3,7 +3,7 @@ import sys as _sys, pathlib as _pl
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
 from demucs_tpu.ops.spec import demucs_spec, demucs_ispec, cac_pack
 
 B, L, nfft = 8, 343980, 4096
