@@ -18,8 +18,144 @@ import struct
 import numpy as np
 import pytest
 
-from demucs_tpu.flacio import (_BitWriter, _crc8, _crc16, _utf8_number,
-                               _zigzag, decode_flac)
+from demucs_tpu.flacio import decode_flac
+
+# --------------------------------------------------------------------------
+# Independent bitstream primitives (straight-line RFC 9639 forms).
+#
+# Deliberately NOT imported from flacio: the fuzz previously shared the
+# encoder's bit writer / CRCs / coded-number / zigzag helpers, so a mirrored
+# bit-packing or CRC bug in flacio would have passed. These re-derivations
+# use different formulations (bit-list writer, bit-at-a-time CRCs, threshold
+# UTF-8 table) so agreement with the decoder is two independent readings of
+# the spec; test_primitives_agree_with_flacio below additionally pins the
+# encoder's own primitives against these forms.
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator as a plain Python 0/1 list (RFC 9639 §5)."""
+
+    def __init__(self):
+        self._bits = []
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self._bits.append((int(value) >> i) & 1)
+
+    def write_signed_array(self, values, n):
+        mask = (1 << n) - 1
+        for v in np.asarray(values).tolist():
+            self.write(int(v) & mask, n)
+
+    def write_rice(self, u, k):
+        for v in np.asarray(u).tolist():
+            q = int(v) >> k
+            self._bits.extend([0] * q)
+            self._bits.append(1)
+            self.write(int(v), k)  # k low bits (write masks to n bits)
+
+    def nbits(self):
+        return len(self._bits)
+
+    def pack(self):
+        bits = list(self._bits)
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+def _crc8(data):
+    """CRC-8, poly 0x07, init/xorout 0 — bit-at-a-time (RFC 9639 §9.1.8)."""
+    reg = 0
+    for byte in data:
+        for bit in range(7, -1, -1):
+            fb = ((byte >> bit) & 1) ^ (reg >> 7)
+            reg = (reg << 1) & 0xFF
+            if fb:
+                reg ^= 0x07
+    return reg
+
+
+def _crc16(data):
+    """CRC-16, poly 0x8005, init/xorout 0 — bit-at-a-time (RFC 9639 §9.3)."""
+    reg = 0
+    for byte in data:
+        for bit in range(7, -1, -1):
+            fb = ((byte >> bit) & 1) ^ (reg >> 15)
+            reg = (reg << 1) & 0xFFFF
+            if fb:
+                reg ^= 0x8005
+    return reg
+
+
+def _utf8_number(v):
+    """FLAC's UTF-8-style coded number (RFC 9639 §9.1.5), threshold form."""
+    v = int(v)
+    if v < 1 << 7:
+        return bytes([v])
+    if v < 1 << 11:
+        lead, n = 0b11000000, 1
+    elif v < 1 << 16:
+        lead, n = 0b11100000, 2
+    elif v < 1 << 21:
+        lead, n = 0b11110000, 3
+    elif v < 1 << 26:
+        lead, n = 0b11111000, 4
+    elif v < 1 << 31:
+        lead, n = 0b11111100, 5
+    else:
+        lead, n = 0b11111110, 6
+    out = [lead | (v >> (6 * n))]
+    for i in range(n - 1, -1, -1):
+        out.append(0x80 | ((v >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _zigzag(res):
+    """Signed residual -> unsigned Rice symbol (RFC 9639 §9.2.7.1)."""
+    r = np.asarray(res, np.int64)
+    return np.where(r >= 0, 2 * r, -2 * r - 1).astype(np.int64)
+
+
+def test_primitives_agree_with_flacio():
+    """flacio's writer/CRC/coded-number primitives vs these independent
+    forms on randomized inputs — two separate spec readings must agree."""
+    from demucs_tpu import flacio as F
+
+    rng = np.random.default_rng(0)
+    mine, theirs = _BitWriter(), F._BitWriter()
+    for _ in range(50):
+        n = int(rng.integers(1, 24))
+        v = int(rng.integers(0, 1 << n))
+        mine.write(v, n)
+        theirs.write(v, n)
+    vals = rng.integers(-(1 << 14), 1 << 14, 64)
+    mine.write_signed_array(vals, 17)
+    theirs.write_signed_array(vals, 17)
+    for k in (0, 1, 5, 14):
+        u = _zigzag(rng.integers(-900, 900, 48))
+        mine.write_rice(u, k)
+        theirs.write_rice(u, k)
+    assert mine.pack() == theirs.pack()
+    assert mine.nbits() == theirs.nbits()
+
+    for _ in range(40):
+        blob = rng.integers(0, 256, int(rng.integers(0, 64))).astype(
+            np.uint8).tobytes()
+        assert _crc8(blob) == F._crc8_py(blob) == F._crc8(blob)
+        assert _crc16(blob) == F._crc16_py(blob) == F._crc16(blob)
+    for v in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+              0x200000, 0x3FFFFFF, 0x4000000, 0x7FFFFFFF, (1 << 36) - 1]:
+        assert _utf8_number(v) == F._utf8_number(v), hex(v)
+    r = rng.integers(-(1 << 30), 1 << 30, 256)
+    np.testing.assert_array_equal(_zigzag(r), F._zigzag(r))
 
 BLOCKSIZE_CODES = {192: 0b0001, 576: 0b0010, 1152: 0b0011, 2304: 0b0100,
                    4608: 0b0101, 256: 0b1000, 512: 0b1001, 1024: 0b1010,
