@@ -114,6 +114,7 @@ class Separator:
     _tail_mode = "exact"
     _compute_dtype = None
     _matmul_precision = None
+    _shift_offsets = None
 
     def __init__(
         self,
@@ -135,6 +136,7 @@ class Separator:
         tail_mode: str = "exact",
         compute_dtype: tp.Optional[str] = None,
         matmul_precision: tp.Optional[str] = None,
+        shift_offsets: tp.Optional[tp.Sequence[int]] = None,
     ):
         """Load a model by name and hold separation parameters.
 
@@ -159,6 +161,7 @@ class Separator:
             transfer_dtype=transfer_dtype,
             length_bucket_seconds=length_bucket_seconds,
             tail_mode=tail_mode,
+            shift_offsets=shift_offsets,
         )
 
     def update_parameter(
@@ -177,6 +180,7 @@ class Separator:
         transfer_dtype=NotProvided,
         length_bucket_seconds=NotProvided,
         tail_mode=NotProvided,
+        shift_offsets=NotProvided,
     ):
         """Update separation parameters (api.py:124-201)."""
         if not isinstance(device, _NotProvided):
@@ -208,6 +212,9 @@ class Separator:
             self._length_bucket_seconds = length_bucket_seconds
         if not isinstance(tail_mode, _NotProvided):
             self._tail_mode = tail_mode
+        if not isinstance(shift_offsets, _NotProvided):
+            self._shift_offsets = (tuple(int(o) for o in shift_offsets)
+                                   if shift_offsets is not None else None)
 
     def _load_model(self):
         self._model = get_model(name=self._name, repo=self._repo)
@@ -260,6 +267,7 @@ class Separator:
                 transfer_dtype=self._transfer_dtype,
                 length_bucket_seconds=self._length_bucket_seconds,
                 tail_mode=self._tail_mode,
+                shift_offsets=getattr(self, "_shift_offsets", None),
             )
         out = out * (std + 1e-8) + mean
         wav = wav * (std + 1e-8) + mean
@@ -312,6 +320,7 @@ class Separator:
             transfer_dtype=self._transfer_dtype,
             length_bucket_seconds=self._length_bucket_seconds,
             tail_mode=self._tail_mode,
+            shift_offsets=getattr(self, "_shift_offsets", None),
         )
         # Enter the device scope only around each next(): holding it across
         # `yield` would leak the thread-local default device into whatever
@@ -331,6 +340,36 @@ class Separator:
             yield file, wav, dict(zip(self._model.sources, out[0]))
         if load_error:
             raise load_error[0]
+
+    def prewarm(self, durations, verbose: bool = False):
+        """Compile + load every executable this Separator's configuration
+        needs for tracks of the given duration(s), before traffic.
+
+        Serving context (docs/api.md "Serving guidance"): on this TPU
+        deployment a NEW executable's first load costs ~25-300 s through the
+        relay; exact-tail kinds additionally compile per shift offset, so a
+        first request can stall minutes. Configure ``shift_offsets`` (a
+        pinned set consumed in order instead of random draws — identical
+        exact-tails numerics) plus ``length_bucket_seconds``, then call
+        ``prewarm`` with the expected bucket lengths: every pass/tail/
+        normalize/wire program loads now, and requests hit only warm
+        executables. Returns the per-duration report from
+        ``demucs_tpu.inference.prewarm.prewarm`` (``tails_warmed=False``
+        flags a configuration whose tail programs cannot be bounded —
+        random shifts on exact-tail kinds)."""
+        from demucs_tpu.inference.prewarm import prewarm as _prewarm
+
+        with _device_scope(self._jax_device):
+            return _prewarm(
+                self._model, durations,
+                shifts=self._shifts,
+                shift_offsets=getattr(self, "_shift_offsets", None),
+                overlap=self._overlap, segment=self._segment,
+                batch_size=self._batch_size, engine=self._engine,
+                transfer_dtype=self._transfer_dtype,
+                length_bucket_seconds=self._length_bucket_seconds,
+                tail_mode=self._tail_mode, verbose=verbose,
+            )
 
     @property
     def samplerate(self):

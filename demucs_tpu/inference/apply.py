@@ -179,6 +179,7 @@ def apply_model(
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     tail_mode: str = "exact",
+    shift_offsets: tp.Optional[tp.Sequence[int]] = None,
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
 
@@ -211,6 +212,16 @@ def apply_model(
     """
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown engine {engine!r}")
+    if shift_offsets is not None:
+        # Serving warm path (prewarm.py): every shift draw comes from the
+        # pinned set, in order, instead of random — the engines run the same
+        # exact-tails numerics for it, but the tail executable set becomes
+        # bounded and prewarmable.
+        from demucs_tpu.inference.prewarm import PinnedShifts
+
+        if rng is not None:
+            raise ValueError("pass either rng or shift_offsets, not both")
+        rng = PinnedShifts(shift_offsets)
     if engine != "host":
         mix_arr = mix if isinstance(mix, np.ndarray) else None
         kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
@@ -401,6 +412,7 @@ def apply_model_tracks(
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     tail_mode: str = "exact",
+    shift_offsets: tp.Optional[tp.Sequence[int]] = None,
 ) -> tp.Iterator[np.ndarray]:
     """Pipelined multi-track ``apply_model``: yields ``(1, S, C, L)`` stems per
     input track ``(1, C, L)``, in order.
@@ -429,6 +441,23 @@ def apply_model_tracks(
             yield mix
 
     tracks = _checked(tracks)
+    if shift_offsets is not None:
+        # One pinned source shared across tracks, reset as each track is
+        # pulled (the engine dispatches a track's passes — consuming its
+        # offsets — before pulling the next), so EVERY track consumes the
+        # same offsets from the start of the set.
+        from demucs_tpu.inference.prewarm import PinnedShifts
+
+        if rng is not None:
+            raise ValueError("pass either rng or shift_offsets, not both")
+        rng = PinnedShifts(shift_offsets)
+
+        def _resetting(items, pinned=rng):
+            for mix in items:
+                pinned.reset()
+                yield mix
+
+        tracks = _resetting(tracks)
     if use_device:
         if not device_ok:
             raise ValueError(

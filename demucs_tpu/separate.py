@@ -43,6 +43,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="Execution device (JAX-managed; accepted for compatibility)")
     parser.add_argument("--shifts", default=1, type=int,
                         help="Number of random shifts for equivariant stabilization.")
+    parser.add_argument("--shift-offsets", default=None,
+                        help="Comma-separated pinned shift offsets (samples), "
+                        "consumed in order instead of random draws: identical "
+                        "exact-tails numerics, but the executable set becomes "
+                        "bounded/prewarmable (docs/api.md 'Serving guidance').")
     parser.add_argument("--overlap", default=0.25, type=float,
                         help="Overlap between the splits.")
     split_group = parser.add_mutually_exclusive_group()
@@ -159,6 +164,8 @@ def main(opts=None):
             tail_mode=args.tail_mode,
             compute_dtype=compute_dtype,
             matmul_precision=matmul_precision,
+            shift_offsets=(tuple(int(x) for x in args.shift_offsets.split(","))
+                           if args.shift_offsets else None),
         )
     except ModelLoadingError as error:
         fatal(error.args[0])

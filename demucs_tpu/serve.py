@@ -216,6 +216,20 @@ def main(argv=None):
     parser.add_argument("--warmup-seconds", type=float, default=None,
                         help="compile the engine on a silent track of this "
                         "length before accepting requests")
+    parser.add_argument("--tail-mode", default="exact",
+                        choices=["exact", "uniform"],
+                        help="ragged-tail policy for hdemucs/demucs-era "
+                        "models (see the CLI's --tail-mode)")
+    parser.add_argument("--shift-offsets", default=None,
+                        help="comma-separated pinned shift offsets (samples) "
+                        "consumed in order instead of random draws — same "
+                        "exact-tails numerics, bounded executable set "
+                        "(docs/api.md 'Serving guidance')")
+    parser.add_argument("--prewarm", default=None,
+                        help="comma-separated track lengths (seconds) to "
+                        "compile+load before accepting requests; with "
+                        "--shift-offsets this warms every tail program too "
+                        "(supersedes --warmup-seconds)")
     args = parser.parse_args(argv)
 
     from demucs_tpu.presets import resolve_preset
@@ -224,13 +238,23 @@ def main(argv=None):
         args.preset, args.wire)
     if banner:
         print(banner, flush=True)
+    shift_offsets = (tuple(int(x) for x in args.shift_offsets.split(","))
+                     if args.shift_offsets else None)
     service = SeparationService(
         model=args.name, repo=args.repo, shifts=args.shifts,
         overlap=args.overlap, segment=args.segment, engine=args.engine,
         transfer_dtype=args.wire, compute_dtype=compute_dtype,
-        matmul_precision=matmul_precision,
+        matmul_precision=matmul_precision, shift_offsets=shift_offsets,
+        tail_mode=args.tail_mode,
     )
-    if args.warmup_seconds:
+    if args.prewarm:
+        durations = [float(x) for x in args.prewarm.split(",")]
+        report = service.separator.prewarm(durations, verbose=True)
+        if not all(r["tails_warmed"] for r in report):
+            print("prewarm: WARNING — random shifts on an exact-tail model "
+                  "leave tail executables cold; pin --shift-offsets, use "
+                  "--tail-mode uniform, or serve shifts=0", flush=True)
+    elif args.warmup_seconds:
         sep = service.separator
         silent = np.zeros(
             (sep.model.audio_channels, int(args.warmup_seconds * sep.samplerate)),
