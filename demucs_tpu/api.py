@@ -112,6 +112,7 @@ class Separator:
     _transfer_dtype = None
     _length_bucket_seconds = None
     _tail_mode = "exact"
+    _bag_mode = "auto"
     _compute_dtype = None
     _matmul_precision = None
     _shift_offsets = None
@@ -134,6 +135,7 @@ class Separator:
         transfer_dtype: tp.Optional[str] = None,
         length_bucket_seconds: tp.Optional[float] = None,
         tail_mode: str = "exact",
+        bag_mode: str = "auto",
         compute_dtype: tp.Optional[str] = None,
         matmul_precision: tp.Optional[str] = None,
         shift_offsets: tp.Optional[tp.Sequence[int]] = None,
@@ -161,6 +163,7 @@ class Separator:
             transfer_dtype=transfer_dtype,
             length_bucket_seconds=length_bucket_seconds,
             tail_mode=tail_mode,
+            bag_mode=bag_mode,
             shift_offsets=shift_offsets,
         )
 
@@ -180,6 +183,7 @@ class Separator:
         transfer_dtype=NotProvided,
         length_bucket_seconds=NotProvided,
         tail_mode=NotProvided,
+        bag_mode=NotProvided,
         shift_offsets=NotProvided,
     ):
         """Update separation parameters (api.py:124-201)."""
@@ -212,6 +216,8 @@ class Separator:
             self._length_bucket_seconds = length_bucket_seconds
         if not isinstance(tail_mode, _NotProvided):
             self._tail_mode = tail_mode
+        if not isinstance(bag_mode, _NotProvided):
+            self._bag_mode = bag_mode
         if not isinstance(shift_offsets, _NotProvided):
             self._shift_offsets = (tuple(int(o) for o in shift_offsets)
                                    if shift_offsets is not None else None)
@@ -267,6 +273,7 @@ class Separator:
                 transfer_dtype=self._transfer_dtype,
                 length_bucket_seconds=self._length_bucket_seconds,
                 tail_mode=self._tail_mode,
+                bag_mode=getattr(self, "_bag_mode", "auto"),
                 shift_offsets=getattr(self, "_shift_offsets", None),
             )
         out = out * (std + 1e-8) + mean
@@ -320,6 +327,7 @@ class Separator:
             transfer_dtype=self._transfer_dtype,
             length_bucket_seconds=self._length_bucket_seconds,
             tail_mode=self._tail_mode,
+            bag_mode=getattr(self, "_bag_mode", "auto"),
             shift_offsets=getattr(self, "_shift_offsets", None),
         )
         # Enter the device scope only around each next(): holding it across
@@ -368,7 +376,8 @@ class Separator:
                 batch_size=self._batch_size, engine=self._engine,
                 transfer_dtype=self._transfer_dtype,
                 length_bucket_seconds=self._length_bucket_seconds,
-                tail_mode=self._tail_mode, verbose=verbose,
+                tail_mode=self._tail_mode,
+                bag_mode=getattr(self, "_bag_mode", "auto"), verbose=verbose,
             )
 
     @property

@@ -179,6 +179,7 @@ def apply_model(
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     tail_mode: str = "exact",
+    bag_mode: str = "auto",
     shift_offsets: tp.Optional[tp.Sequence[int]] = None,
 ) -> np.ndarray:
     """Apply ``model`` to ``mix (B, C, L)`` -> ``(B, S, C, L)``.
@@ -204,7 +205,13 @@ def apply_model(
     reference apply.py:302-309) additionally re-run each ragged tail chunk
     at its exact per-length leaf target (one small extra executable per
     distinct tail target — the same compile granularity the host engine
-    pays for its tail-target batch groups). ``tail_mode="uniform"`` trades
+    pays for its tail-target batch groups). ``bag_mode`` controls the
+    device engine's homogeneous-bag strategy on one device: "auto"
+    (default) folds all members + shift passes into ONE stacked-member
+    program (merged forward batches; ~1.5e-8 CPU / ~5e-5 TPU deviation vs
+    the sequential member loop — XLA conv lowering is program-context-
+    dependent); "sequential" forces the reference-style member loop.
+    ``tail_mode="uniform"`` trades
     that exactness for a single executable (tail chunks see slightly more
     real context; full chunks stay bit-exact) — for throughput-critical
     serving of segment-44 bags where random shifts would otherwise compile
@@ -253,7 +260,7 @@ def apply_model(
                 segment=segment, batch_size=batch_size, rng=rng,
                 transfer_dtype=transfer_dtype, progress=progress,
                 length_bucket_seconds=length_bucket_seconds,
-                tail_mode=tail_mode,
+                tail_mode=tail_mode, bag_mode=bag_mode,
                 mesh=auto_mesh(),
             )
     if rng is None:
@@ -412,6 +419,7 @@ def apply_model_tracks(
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     tail_mode: str = "exact",
+    bag_mode: str = "auto",
     shift_offsets: tp.Optional[tp.Sequence[int]] = None,
 ) -> tp.Iterator[np.ndarray]:
     """Pipelined multi-track ``apply_model``: yields ``(1, S, C, L)`` stems per
@@ -471,7 +479,7 @@ def apply_model_tracks(
             transition_power=transition_power, segment=segment,
             batch_size=batch_size, rng=rng, transfer_dtype=transfer_dtype,
             progress=progress, length_bucket_seconds=length_bucket_seconds,
-            tail_mode=tail_mode, mesh=auto_mesh())
+            tail_mode=tail_mode, bag_mode=bag_mode, mesh=auto_mesh())
         return
     for mix in tracks:
         yield apply_model(
@@ -480,4 +488,4 @@ def apply_model_tracks(
             segment=segment, rng=rng, batch_size=batch_size, engine=engine,
             transfer_dtype=transfer_dtype,
             length_bucket_seconds=length_bucket_seconds,
-            tail_mode=tail_mode)
+            tail_mode=tail_mode, bag_mode=bag_mode)

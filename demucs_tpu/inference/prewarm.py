@@ -82,6 +82,7 @@ def prewarm(
     transfer_dtype: tp.Optional[str] = None,
     length_bucket_seconds: tp.Optional[float] = None,
     tail_mode: str = "exact",
+    bag_mode: str = "auto",
     verbose: bool = False,
 ) -> tp.List[dict]:
     """Compile + load every executable the given serving configuration needs.
@@ -108,20 +109,23 @@ def prewarm(
     sr = first.samplerate
     C = first.audio_channels
 
-    warm_shifts = shifts
-    if shifts and shift_offsets:
-        # one warm pass must consume the whole pinned set (serving consumes
-        # shifts offsets per member per track, cycling from the start)
-        per_track = shifts * n_members
-        need = max(per_track, len(shift_offsets))
-        warm_shifts = -(-need // n_members)
-
     kinds = ([m.kind for m in model.models] if isinstance(model, BagOfModels)
              else [model.kind])
     exact_tail_kinds = tail_mode == "exact" and any(
         k != "htdemucs" or not (m.uses_train_segment or segment is not None)
         for k, m in zip(kinds, model.models if isinstance(model, BagOfModels)
                         else [model]))
+
+    warm_shifts = shifts
+    if shifts and shift_offsets and exact_tail_kinds:
+        # one warm pass must consume the whole pinned set (serving consumes
+        # shifts offsets per member per track, cycling from the start).
+        # Uniform-target kinds skip this: their executables are offset-
+        # independent, and raising the shift count would compile a DIFFERENT
+        # stacked-bag program (keyed on n_passes) than serving uses.
+        per_track = shifts * n_members
+        need = max(per_track, len(shift_offsets))
+        warm_shifts = -(-need // n_members)
 
     report = []
     for dur in sorted({float(d) for d in durations}):
@@ -133,6 +137,7 @@ def prewarm(
             segment=segment, batch_size=batch_size, engine=engine,
             transfer_dtype=transfer_dtype,
             length_bucket_seconds=length_bucket_seconds, tail_mode=tail_mode,
+            bag_mode=bag_mode,
             shift_offsets=tuple(shift_offsets) if shift_offsets else None,
         )
         dt = time.perf_counter() - t0

@@ -87,6 +87,14 @@ def get_parser() -> argparse.ArgumentParser:
                         "'uniform' runs everything at one padded target "
                         "(single executable, tails see slightly more real "
                         "context). HTDemucs models are exact either way.")
+    parser.add_argument("--bag-mode", default="auto",
+                        choices=["auto", "stacked", "sequential"],
+                        help="Homogeneous-bag strategy on one device: "
+                        "'auto'/'stacked' folds every member + shift pass "
+                        "into ONE device program (htdemucs_ft's 4 members "
+                        "run as merged MXU batches instead of 4 sequential "
+                        "passes); 'sequential' forces the reference-style "
+                        "member loop (its exact per-pass executables).")
     parser.add_argument("--length-bucket", type=float, default=None,
                         metavar="SECONDS",
                         help="Quantize track lengths to this bucket on the "
@@ -162,6 +170,7 @@ def main(opts=None):
             transfer_dtype=None if wire == "float32" else wire,
             length_bucket_seconds=args.length_bucket,
             tail_mode=args.tail_mode,
+            bag_mode=args.bag_mode,
             compute_dtype=compute_dtype,
             matmul_precision=matmul_precision,
             shift_offsets=(tuple(int(x) for x in args.shift_offsets.split(","))
