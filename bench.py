@@ -87,6 +87,12 @@ def main():
                         "across repeats).")
     parser.add_argument("--tail-mode", default="exact",
                         choices=["exact", "uniform"])
+    parser.add_argument("--bag-mode", default="auto",
+                        choices=["auto", "stacked", "sequential"],
+                        help="homogeneous-bag strategy on one chip: stacked "
+                        "= ONE program for all members+shifts (merged MXU "
+                        "batches); sequential = the reference-style member "
+                        "loop")
     parser.add_argument("--length-bucket", type=float, default=None,
                         help="length_bucket_seconds: quantize track length "
                         "so one executable serves many lengths")
@@ -170,6 +176,7 @@ def main():
         batch_size=args.batch_size,
         transfer_dtype=None if args.transfer == "float32" else args.transfer,
         tail_mode=args.tail_mode,
+        bag_mode=args.bag_mode,
         length_bucket_seconds=args.length_bucket,
     )
 

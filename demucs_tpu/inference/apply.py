@@ -207,10 +207,12 @@ def apply_model(
     distinct tail target — the same compile granularity the host engine
     pays for its tail-target batch groups). ``bag_mode`` controls the
     device engine's homogeneous-bag strategy on one device: "auto"
-    (default) folds all members + shift passes into ONE stacked-member
-    program (merged forward batches; ~1.5e-8 CPU / ~5e-5 TPU deviation vs
-    the sequential member loop — XLA conv lowering is program-context-
-    dependent); "sequential" forces the reference-style member loop.
+    (default) runs all members + shift passes as ONE stacked-member
+    program (a lax.scan over the stacked params — measured +7% forward
+    rate over the sequential dispatches at 1-member memory; ~1.5e-8 CPU /
+    ~5e-5 TPU deviation vs the sequential member loop, because XLA conv
+    lowering is program-context-dependent); "sequential" forces the
+    reference-style member loop.
     ``tail_mode="uniform"`` trades
     that exactness for a single executable (tail chunks see slightly more
     real context; full chunks stay bit-exact) — for throughput-critical

@@ -492,16 +492,24 @@ def _build_stacked_bag_fn(kind: str, cfg, length: int, max_shift: int,
     """Single-chip stacked bag pass: ONE program for a whole homogeneous bag.
 
     The reference (and our sequential path) runs bag members one pass at a
-    time (apply.py:208-224): M passes + M normalizations + per-pass dispatch
-    round trips. Here the member axis folds into the forward batch instead:
-    segments for every (member, shift pass) are extracted from the shared
-    track buffer, forwarded through one ``lax.map`` whose step is a
-    member-``vmap``ped forward over the stacked params (effective MXU batch
-    = n_models x per-member batch, so the 4-member htdemucs_ft bag runs
-    full-size batches where the sequential path ran ~11-segment ones), then
-    each (member, pass) gets its own triangular overlap-add + true-weight-sum
-    normalization, accumulated in the reference's member-major order with the
-    per-member per-source weights applied in-pass.
+    time (apply.py:208-224): M pass executables + per-pass dispatches. Here
+    the stacked member params become a ``lax.scan`` axis over the FULL
+    per-member pass (shared track buffer -> segment extraction -> right-
+    sized ``lax.map`` forward batches -> triangular OLA + true-weight-sum
+    normalization), with the accumulator as the scan carry — so the
+    member-major accumulation order and the per-member per-source weights
+    match the reference bag loop exactly, in one executable whose code and
+    activation memory are those of a SINGLE member.
+
+    Why a member-scan and not a member-vmap batch fold (both were built and
+    measured on v5e, tools/probe_stacked.py, released width): the vmapped
+    fold lowers convs with a leading weight-batch axis and must shrink the
+    per-member batch to fit the memory budget — at (4 members x batch 4) it
+    reaches 311 segment-audio-s/s vs 382 for the sequential engine's plain
+    batch-16 dispatches (engine-level: 49.7 vs 56.1 device_resident). The
+    member-scan keeps plain convs at the full per-member batch and measures
+    409 segment-audio-s/s (+7% over the sequential dispatches) with
+    1-member memory.
 
     Numerics: identical arithmetic, but XLA's conv lowering is only
     program-context-stable, not cross-program-stable — measured (round 5):
@@ -511,53 +519,26 @@ def _build_stacked_bag_fn(kind: str, cfg, length: int, max_shift: int,
     per-pass executables. The stacked pass therefore matches the sequential
     engine to those measured bounds (~140 dB on CPU; on TPU, within the
     default precision's own cross-program noise class) and the host engine
-    at the standard device-engine tolerance. Parity: tests/test_device_engine.py.
+    at the standard device-engine tolerance. Parity: tests/test_stacked_bag.py.
     """
-    from demucs_tpu.train.solver import model_forward_fn
-
-    forward = model_forward_fn(kind)
     body = _make_pass_body(kind, cfg, length, max_shift, segment_length,
                            target, stride, batch_size, transition_power,
                            n_sources, audio_channels)
-    _, _, n_pad = body.grid
-    # per-member map batch sized so the effective forward batch
-    # (n_models x per_bs) stays at the engine's right-sized batch budget
-    per_bs = max(1, -(-batch_size // n_models))
-    total = n_passes * n_pad
-    nb = -(-total // per_bs)
-    per_bs = -(-total // nb)  # right-size: minimize padding slots
 
     def bag_fn(stacked_params, track_buf, offsets, accum, scales):
         """stacked_params: pytree with leading member axis (M, ...).
         track_buf: (C, buf_len) shared padded track. offsets: (M, n_passes)
         int32 shift offsets (member-major draw order, matching the
         sequential engines). accum: (S, C, length). scales: (M, S)."""
-        segs = jnp.stack([
-            jnp.stack([body.extract_segments(track_buf, offsets[m, s])
-                       for s in range(n_passes)])
-            for m in range(n_models)
-        ])  # (M, n_passes, n_pad, C, target)
-        segs = segs.reshape(n_models, total, audio_channels, target)
-        segs = jnp.pad(segs, [(0, 0), (0, nb * per_bs - total), (0, 0), (0, 0)])
-        segs = segs.reshape(n_models, nb, per_bs, audio_channels, target)
-        segs = segs.transpose(1, 0, 2, 3, 4)  # (nb, M, per_bs, C, target)
 
-        def step(batch):  # (M, per_bs, C, target) — member-vmapped forward
-            return jax.vmap(lambda p, b: forward(p, b, cfg))(
-                stacked_params, batch)
-
-        outs = jax.lax.map(step, segs)  # (nb, M, per_bs, S, C, target)
-        outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
-            n_models, nb * per_bs, n_sources, audio_channels, target)[:, :total]
-        outs = outs.reshape(n_models, n_passes, n_pad, n_sources,
-                            audio_channels, target)
-
-        # member-major accumulation, per-member per-source weights in-pass —
-        # the reference bag loop's association (apply.py:208-224)
-        for m in range(n_models):
+        def member_body(acc, xs):
+            params_m, offsets_m, scale_m = xs
             for s in range(n_passes):
-                accum = body.ola_accum(outs[m, s], offsets[m, s], accum,
-                                       scales[m])
+                acc = body(params_m, track_buf, offsets_m[s], acc, scale_m)
+            return acc, 0.0
+
+        accum, _ = jax.lax.scan(member_body, accum,
+                                (stacked_params, offsets, scales))
         return accum
 
     return jax.jit(bag_fn, donate_argnums=(3,))
@@ -868,9 +849,9 @@ def _dispatch_track(
     output request (None) implies a bit-exact (fp32) input upload.
 
     ``bag_mode`` (homogeneous uniform-target bags on one device): "auto"
-    (default) folds the whole bag into ONE stacked-member program — member
-    axis merged into the forward batch, per-member OLA, member-major
-    accumulation (see ``_build_stacked_bag_fn``; measured ~5e-5 TPU /
+    (default) folds the whole bag into ONE stacked-member program — a
+    lax.scan over stacked member params around the full per-member pass,
+    member-major accumulation (see ``_build_stacked_bag_fn``; measured ~5e-5 TPU /
     ~1.5e-8 CPU deviation vs the sequential per-pass executables — XLA conv
     lowering is program-context-dependent, the same class of noise as the
     default precision itself). "sequential" forces the reference-style
