@@ -1,4 +1,4 @@
-"""Speed-of-light analysis for the flagship htdemucs forward.
+"""Speed-of-light analysis for the flagship htdemucs forward AND train step.
 
 Pulls FLOP/byte counts from XLA's cost model for the released topology
 (channels 48, nfft 4096, 7.8 s segments) and reports, for a given measured
@@ -6,11 +6,20 @@ per-batch latency (tools/probe_compute.py / BENCHMARKS.md), the implied
 fraction of TPU v5e peak and the roofline position (arithmetic intensity vs
 the ridge point).
 
+``--train`` analyzes the full jitted train step instead (augment + forward
++ backward + Adam + batch-EMA — the exact executable tools/bench_train.py
+times), so the measured audio-s/s-trained numbers get the same
+is-it-fast-or-just-measured treatment as inference. Pass ``--ms`` from the
+BENCHMARKS.md Training table (e.g. 535.2 for batch 8 x 7.8 s).
+
 Usage:
     python tools/roofline.py [--batch 16] [--ms 330] [--small]
+    python tools/roofline.py --train --batch 8 --ms 535.2 --device axon
 
-Runs the analysis on CPU (HLO-level costs are backend-independent); nothing
-is executed.
+Costs come from the compiled executable of the selected --device: 'cpu' is
+fast but reports unfused HLO bytes; an accelerator platform (e.g. 'axon')
+gives the real fused TPU executable's cost model (always prefer it for
+bytes — TPU fusion removes ~37% of the unfused traffic). Nothing executes.
 """
 
 from __future__ import annotations
@@ -35,6 +44,13 @@ def main() -> int:
                              "BENCHMARKS.md / tools/probe_compute.py")
     parser.add_argument("--small", action="store_true",
                         help="reduced test topology (fast compile)")
+    parser.add_argument("--train", action="store_true",
+                        help="analyze the full train step (augment + fwd + "
+                        "bwd + Adam + EMA) instead of the forward")
+    parser.add_argument("--segment", type=float, default=7.8)
+    parser.add_argument("--remat", action="store_true",
+                        help="train-step rematerialization (the long-"
+                        "segment recipes)")
     parser.add_argument("--device", default="cpu",
                         help="backend to compile for: 'cpu' (fast, but "
                              "bytes-accessed reflects unfused CPU HLO) or an "
@@ -56,21 +72,46 @@ def main() -> int:
         cfg = ht.HTDemucsConfig(channels=16, nfft=2048, t_layers=2,
                                 t_heads=4, segment=0.5, samplerate=8000)
     else:
-        cfg = ht.HTDemucsConfig(segment=7.8)
+        cfg = ht.HTDemucsConfig(segment=args.segment)
     params = ht.init_htdemucs(cfg, seed=0)
     L = cfg.training_length
-    mix = np.zeros((args.batch, cfg.audio_channels, L), np.float32)
 
-    fwd = jax.jit(ht.forward, static_argnames=("cfg",))
-    lowered = fwd.lower(params, mix, cfg)
+    if args.train:
+        # the exact executable tools/bench_train.py times: augment + forward
+        # + backward + Adam + batch-EMA (train/solver.py)
+        from demucs_tpu.models.registry import Model
+        from demucs_tpu.train.config import TrainArgs, apply_overrides
+        from demucs_tpu.train.solver import Solver, make_optimizer
+
+        model = Model("htdemucs", cfg, params)
+        targs = apply_overrides(TrainArgs(), {
+            "remat": args.remat,
+            "ema.batch": (0.9995,),
+            "dset.shift": 0.5,
+            "augment.remix.group_size": min(4, args.batch),
+        })
+        solver = Solver({}, model, make_optimizer(targs, model), targs,
+                        folder="/tmp/roofline_train_xp")
+        T = cfg.training_length + int(targs.dset.samplerate * targs.dset.shift)
+        sources = np.zeros((args.batch, len(cfg.sources), cfg.audio_channels,
+                            T), np.float32)
+        key = jax.random.PRNGKey(0)
+        lowered = solver._train_step.lower(params, solver.opt_state, sources,
+                                           key)
+    else:
+        mix = np.zeros((args.batch, cfg.audio_channels, L), np.float32)
+        fwd = jax.jit(ht.forward, static_argnames=("cfg",))
+        lowered = fwd.lower(params, mix, cfg)
     cost = lowered.compile().cost_analysis()
     flops = float(cost.get("flops", 0.0))
     bytes_accessed = float(cost.get("bytes accessed", 0.0))
 
     audio_s = args.batch * L / cfg.samplerate
-    print(f"topology: channels={cfg.channels} nfft={cfg.nfft} "
+    what = "train step" if args.train else "forward"
+    print(f"{what}: channels={cfg.channels} nfft={cfg.nfft} "
           f"t_layers={cfg.t_layers} segment={float(cfg.segment)}s "
-          f"batch={args.batch} ({audio_s:.1f} audio-s/batch)")
+          f"batch={args.batch} ({audio_s:.1f} audio-s/batch)"
+          + (" remat" if args.train and args.remat else ""))
     print(f"XLA cost model: {flops/1e9:.1f} GFLOP, "
           f"{bytes_accessed/1e9:.2f} GB accessed, "
           f"arithmetic intensity {flops/max(bytes_accessed,1):.1f} FLOP/B")
