@@ -59,9 +59,10 @@ def synthesize_dataset(root: Path, sr: int, seed: int = 0):
         x = np.stack([x, np.roll(x, 7)])  # slight stereo decorrelation
         return (x * 0.5).astype(np.float32)
 
-    for subset, tracks, dur in [("train", ("A", "B"), 30.0),
-                                ("test", ("Val",), 8.0)]:
-        for name in tracks:
+    for subset, tracks in [("train", (("A", 30.0), ("B", 30.0),
+                                      ("Val", 12.0))),
+                           ("test", (("Test", 8.0),))]:
+        for name, dur in tracks:
             tdir = root / subset / name
             tdir.mkdir(parents=True, exist_ok=True)
             T = int(dur * sr)
@@ -110,7 +111,7 @@ def main():
             "dset.samplerate": sr,
             "dset.segment": args.segment,
             "dset.shift": 0.5,
-            "dset.valid_tracks": (),
+            "dset.valid_tracks": ("Val",),
             "epochs": epochs,
             "batch_size": args.batch,
             "max_batches": args.batches_per_epoch,
@@ -127,12 +128,12 @@ def main():
         })
 
     half = args.epochs // 2
-    full_args = make_args(args.epochs)
+    full_sig = xp_signature(make_args(args.epochs))
     t0 = time.time()
-    solver = get_solver(full_args)
-    # First leg: SAME XP signature/folder, epoch cap lowered after
-    # construction so the loop stops mid-run with a checkpoint on disk —
-    # a genuine interrupted-training state, not a warm start.
+    solver = get_solver(make_args(args.epochs))
+    # First leg: SAME XP signature/folder (computed at construction), epoch
+    # cap lowered afterwards so the loop stops mid-run with a checkpoint on
+    # disk — a genuine interrupted-training state, not a warm start.
     solver.args.epochs = half
     solver.train()
     t_half = time.time()
@@ -143,7 +144,7 @@ def main():
     # same XP folder (xp_signature unchanged), replays history, restores
     # params/optimizer/EMA banks/rng and continues from epoch half+1.
     solver2 = get_solver(make_args(args.epochs))
-    assert xp_signature(solver2.args) == xp_signature(full_args)
+    assert xp_signature(solver2.args) == full_sig
     resumed_at = len(solver2.history)
     solver2.train()
     t_end = time.time()
