@@ -79,7 +79,10 @@ def main():
     parser.add_argument("--epochs", type=int, default=24,
                         help="total epochs (run as two halves w/ resume)")
     parser.add_argument("--batches-per-epoch", type=int, default=10)
-    parser.add_argument("--batch", type=int, default=4)
+    # batch 8 = the geometry bench_train measures AND the one this
+    # deployment's remote AOT service compiles: batch 4 non-remat trips its
+    # known [512,48] post-optimization layout bug (CLAUDE.md measured facts)
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--channels", type=int, default=48,
                         help="released width by default")
     parser.add_argument("--segment", type=float, default=7.8)
