@@ -127,6 +127,15 @@ class MiscConfig:
     num_prints: int = 4
     show: bool = False
     verbose: bool = False
+    # Serialize checkpoints in a background thread: the device->host fetch
+    # of params/optimizer/EMA banks (~538 MB at released width) overlaps
+    # the next epoch's compute instead of stalling it — measured 20-30 s
+    # per epoch over this deployment's relay (BENCHMARKS.md Training,
+    # r5 overfit run). JAX arrays are immutable, so capturing the epoch's
+    # pytree references is snapshot-safe; writes stay atomic
+    # (tmp + rename) and the loop joins the writer before the next
+    # checkpoint and at exit.
+    async_checkpoint: bool = False
 
 
 @dataclasses.dataclass

@@ -412,24 +412,65 @@ class Solver:
             self.model.cfg)
 
     def _serialize(self, epoch: int) -> None:
-        """Atomic full-state checkpoint (solver.py:77-101)."""
+        """Atomic full-state checkpoint (solver.py:77-101).
+
+        With ``misc.async_checkpoint`` the device->host fetch + pickle +
+        atomic rename run in a background thread (~20-30 s/epoch of relay
+        fetch at released width overlapped with the next epoch's compute —
+        measured in the r5 on-chip overfit run). JAX arrays are immutable,
+        so capturing this epoch's pytree references is a consistent
+        snapshot; only one writer is in flight (joined before the next
+        checkpoint and at the end of ``train``)."""
+        # snapshot references NOW (the loop replaces self.model.params /
+        # self.opt_state with new arrays each step)
+        refs = dict(
+            params=self.model.params,
+            opt_state=self.opt_state,
+            history=[dict(m) for m in self.history],
+            best_state=self.best_state,
+            rng=self.rng,
+            qlogits=self.qlogits,
+            emas={kind: [(ema.state, ema.count) for ema in emas]
+                  for kind, emas in self.emas.items()},
+            best_changed=self.best_changed,
+        )
+        self.best_changed = False
+        if getattr(self.args.misc, "async_checkpoint", False):
+            import threading
+
+            self._join_checkpoint_writer()
+            self._ckpt_thread = threading.Thread(
+                target=self._write_checkpoint, args=(epoch, refs),
+                name="checkpoint-writer", daemon=False)
+            self._ckpt_thread.start()
+        else:
+            self._write_checkpoint(epoch, refs)
+
+    def _join_checkpoint_writer(self) -> None:
+        thread = getattr(self, "_ckpt_thread", None)
+        if thread is not None:
+            thread.join()
+            self._ckpt_thread = None
+
+    def _write_checkpoint(self, epoch: int, refs: dict) -> None:
         def to_host(tree):
             return jax.tree.map(np.asarray, tree)
 
         package = {
-            "state": to_host(self.model.params),
-            "optimizer": to_host(self.opt_state),
-            "history": self.history,
-            "best_state": to_host(self.best_state) if self.best_state is not None else None,
+            "state": to_host(refs["params"]),
+            "optimizer": to_host(refs["opt_state"]),
+            "history": refs["history"],
+            "best_state": (to_host(refs["best_state"])
+                           if refs["best_state"] is not None else None),
             "args": dataclasses.asdict(self.args),
-            "rng": np.asarray(self.rng),
+            "rng": np.asarray(refs["rng"]),
         }
-        if self.qlogits is not None:
-            package["qlogits"] = to_host(self.qlogits)
-        for kind, emas in self.emas.items():
-            for k, ema in enumerate(emas):
+        if refs["qlogits"] is not None:
+            package["qlogits"] = to_host(refs["qlogits"])
+        for kind, emas in refs["emas"].items():
+            for k, (state, count) in enumerate(emas):
                 package[f"ema_{kind}_{k}"] = {
-                    "state": to_host(ema.state), "count": ema.count}
+                    "state": to_host(state), "count": count}
         tmp = self.checkpoint_file.with_suffix(".tmp")
         with open(tmp, "wb") as f:
             pickle.dump(package, f)
@@ -443,13 +484,13 @@ class Solver:
                 pickle.dump(package, f)
             tmp.rename(periodic)
 
-        if self.best_changed and self.best_state is not None:
+        if refs["best_changed"] and refs["best_state"] is not None:
             from demucs_tpu.zoo.native import save_model
 
-            best_model = Model(self.model.kind, self.model.cfg, self.best_state)
+            best_model = Model(self.model.kind, self.model.cfg,
+                               refs["best_state"])
             save_model(best_model, self.best_file,
                        training_args=dataclasses.asdict(self.args))
-            self.best_changed = False
 
     def _reset(self) -> None:
         """Resume from checkpoint / warm starts (solver.py:103-132)."""
@@ -609,6 +650,9 @@ class Solver:
                 self._serialize(epoch)
             if is_last:
                 break
+        # async_checkpoint: the final epoch's writer must finish before
+        # train() returns (callers may read/copy the checkpoint right away)
+        self._join_checkpoint_writer()
 
     def _push_history(self) -> None:
         # Only rank 0 owns the XP folder files (reference solver.py:284-287);

@@ -234,3 +234,36 @@ def test_solver_train_step_is_sharded(dataset_root, tmp_path):
     single_loss = solver2.history[-1]["train"]["loss"]
     assert abs(sharded_loss - single_loss) < 1e-4 * max(1.0, abs(single_loss)), (
         sharded_loss, single_loss)
+
+
+def test_async_checkpoint_same_trajectory(dataset_root, tmp_path):
+    """misc.async_checkpoint serializes in a background thread (overlapping
+    the relay fetch with the next epoch — BENCHMARKS.md Training): the
+    training trajectory is IDENTICAL to the sync path, the writer is joined
+    before train() returns, files are atomic/complete, and resume works."""
+    from demucs_tpu.train.train import get_solver
+    from demucs_tpu.train.config import xp_signature
+
+    sync_args = _make_args(dataset_root, tmp_path / "sync")
+    solver = get_solver(sync_args)
+    solver.train()
+    sync_losses = [m["train"]["loss"] for m in solver.history]
+
+    args = _make_args(dataset_root, tmp_path / "async",
+                      **{"misc.async_checkpoint": True})
+    solver2 = get_solver(args)
+    solver2.train()
+    assert getattr(solver2, "_ckpt_thread", None) is None  # joined at exit
+    async_losses = [m["train"]["loss"] for m in solver2.history]
+    assert async_losses == sync_losses  # serialization strategy != numerics
+
+    folder = tmp_path / "async" / "outputs" / "xps" / xp_signature(args)
+    assert (folder / "checkpoint.tpk").exists()
+    assert not (folder / "checkpoint.tmp").exists()
+    assert (folder / "best.dmx").exists()
+
+    # resume from the async-written checkpoint
+    solver3 = get_solver(args)
+    assert len(solver3.history) == args.epochs
+    solver3.train()  # no-op replay
+    assert [m["train"]["loss"] for m in solver3.history] == async_losses
