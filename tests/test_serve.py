@@ -158,3 +158,48 @@ def test_service_fast_preset(local_repo):
     svc = SeparationService(model=sig, repo=repo, shifts=0, engine="host",
                             compute_dtype="bfloat16")
     assert svc.separator._model.cfg.compute_dtype == "bfloat16"
+
+
+def test_serve_main_prewarm_flags(local_repo, monkeypatch, capsys):
+    """`serve.py --shift-offsets ... --prewarm ...` configures the pinned
+    set on the Separator and runs prewarm for every listed duration before
+    binding the server (the operator warm path, docs/api.md)."""
+    from demucs_tpu import serve
+
+    repo, sig = local_repo
+    calls = {}
+
+    class _FakeServer:
+        def __init_subclass__(cls):
+            pass
+
+        def serve_forever(self):
+            calls["served"] = True
+            raise KeyboardInterrupt  # unwind main() after "binding"
+
+    def fake_make_server(service, host, port):
+        calls["service"] = service
+        return _FakeServer()
+
+    monkeypatch.setattr(serve, "make_server", fake_make_server)
+
+    real_prewarm = None
+
+    def spy_prewarm(self, durations, verbose=False):
+        calls["durations"] = list(durations)
+        calls["offsets"] = self._shift_offsets
+        return [{"seconds": d, "samples": 0, "warm_time_s": 0.0,
+                 "shift_offsets": self._shift_offsets, "tails_warmed": True}
+                for d in durations]
+
+    from demucs_tpu.api import Separator
+
+    monkeypatch.setattr(Separator, "prewarm", spy_prewarm)
+    with pytest.raises(KeyboardInterrupt):
+        serve.main(["-n", sig, "--repo", str(repo), "--shifts", "1",
+                    "--engine", "host", "--shift-offsets", "120,360",
+                    "--prewarm", "0.8,1.6"])
+    assert calls["durations"] == [0.8, 1.6]
+    assert calls["offsets"] == (120, 360)
+    assert calls["service"].separator._shift_offsets == (120, 360)
+    assert calls["served"] is True
