@@ -129,3 +129,30 @@ def test_separator_prewarm_and_pinned_separation(monkeypatch):
     _, stems2 = sep.separate_tensor(wav)
     for k in stems:
         np.testing.assert_array_equal(stems[k], stems2[k])
+
+
+def test_prewarm_covers_stacked_bag_program():
+    """The flagship serving case: prewarming a homogeneous htdemucs bag
+    compiles the stacked-member program (bag_mode auto), so the first real
+    request builds nothing new."""
+    from common import make_htdemucs_pair
+
+    from demucs_tpu.inference import engine as E
+    from demucs_tpu.models import htdemucs as ht
+    from demucs_tpu.models.registry import BagOfModels, Model
+
+    _, cfg, params = make_htdemucs_pair()
+    bag = BagOfModels([Model("htdemucs", cfg, params),
+                       Model("htdemucs", cfg, ht.init_htdemucs(cfg, seed=21))])
+    dur = 1.5 * float(cfg.segment)
+    offsets = (500, 2500)
+    prewarm(bag, dur, shifts=1, shift_offsets=offsets, engine="device",
+            batch_size=4)
+
+    before = E._build_stacked_bag_fn.cache_info().misses
+    mix = random_mix((1, 2, int(dur * cfg.samplerate)), seed=6)
+    out = apply_model(bag, mix, shifts=1, engine="device", batch_size=4,
+                      shift_offsets=offsets)
+    after = E._build_stacked_bag_fn.cache_info().misses
+    assert after == before  # the stacked program was prewarmed
+    assert out.shape[-1] == mix.shape[-1]
