@@ -488,7 +488,8 @@ def _build_stacked_bag_fn(kind: str, cfg, length: int, max_shift: int,
                           segment_length: int, target: int, stride: int,
                           batch_size: int, transition_power: float,
                           n_sources: int, audio_channels: int,
-                          n_models: int, n_passes: int):
+                          n_models: int, n_passes: int,
+                          transfer_dtype: tp.Optional[str] = None):
     """Single-chip stacked bag pass: ONE program for a whole homogeneous bag.
 
     The reference (and our sequential path) runs bag members one pass at a
@@ -524,12 +525,17 @@ def _build_stacked_bag_fn(kind: str, cfg, length: int, max_shift: int,
     body = _make_pass_body(kind, cfg, length, max_shift, segment_length,
                            target, stride, batch_size, transition_power,
                            n_sources, audio_channels)
+    # the bag program is single-dispatch by design, so the final normalize
+    # + wire-format rides along for free (one launch + fetch per track)
+    fin = _final_body(transfer_dtype, length,
+                      n_sources * audio_channels * _WIRE_BYTES[transfer_dtype])
 
-    def bag_fn(stacked_params, track_buf, offsets, accum, scales):
+    def bag_fn(stacked_params, track_buf, offsets, scales, totals):
         """stacked_params: pytree with leading member axis (M, ...).
         track_buf: (C, buf_len) shared padded track. offsets: (M, n_passes)
         int32 shift offsets (member-major draw order, matching the
-        sequential engines). accum: (S, C, length). scales: (M, S)."""
+        sequential engines). scales: (M, S). totals: (S,) weight sums."""
+        accum = jnp.zeros((n_sources, audio_channels, length), jnp.float32)
 
         def member_body(acc, xs):
             params_m, offsets_m, scale_m = xs
@@ -539,9 +545,9 @@ def _build_stacked_bag_fn(kind: str, cfg, length: int, max_shift: int,
 
         accum, _ = jax.lax.scan(member_body, accum,
                                 (stacked_params, offsets, scales))
-        return accum
+        return fin(accum, totals)
 
-    return jax.jit(bag_fn, donate_argnums=(3,))
+    return jax.jit(bag_fn)
 
 
 def _stack_member_params(models, mesh=None):
@@ -570,6 +576,13 @@ def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
     16 MB sustains ~44 MB/s, 84 MB drops to ~9 MB/s), so the stems come back
     as a tuple of <=12 MB slices — all produced by ONE jitted executable.
     """
+    return jax.jit(_final_body(transfer_dtype, length, item_bytes))
+
+
+def _final_body(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
+    """Unjitted normalize + wire-format + chunk-slice body — composed into
+    single-dispatch programs by the fused builders (and jitted standalone by
+    ``_final_fn`` for the multi-pass accumulate paths)."""
     nbytes = length * item_bytes
     n_chunks = max(1, -(-nbytes // _FETCH_CHUNK_BYTES))
     step = -(-length // n_chunks)
@@ -582,19 +595,19 @@ def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
         def fn(x, t):
             y = normalize(x, t)
             return tuple(y[..., a:b] for a, b in bounds)
-        return jax.jit(fn)
+        return fn
     if transfer_dtype == "float16":
         def fn(x, t):
             y = normalize(x, t).astype(jnp.float16)
             return tuple(y[..., a:b] for a, b in bounds)
-        return jax.jit(fn)
+        return fn
     if transfer_dtype == "int16":
         def fn(x, t):
             y = normalize(x, t)
             scale = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 32766.0 + 1e-12
             q = jnp.round(y / scale).astype(jnp.int16)
             return tuple(q[..., a:b] for a, b in bounds), scale
-        return jax.jit(fn)
+        return fn
     if transfer_dtype == "int8":
         # Block-adaptive int8: per-(source, channel, 1024-sample block)
         # max-abs scaling -> ~44 dB SNR relative to the LOCAL signal level
@@ -618,8 +631,37 @@ def _final_fn(transfer_dtype: tp.Optional[str], length: int, item_bytes: int):
             q = jnp.round(yb / scale).astype(jnp.int8)
             return (tuple(q[..., a:b, :] for a, b in bbounds),
                     scale.astype(jnp.float16))
-        return jax.jit(fn)
+        return fn
     raise ValueError(transfer_dtype)
+
+
+_WIRE_BYTES = {None: 4, "float32": 4, "float16": 2, "int16": 2, "int8": 1}
+
+
+@functools.lru_cache(maxsize=16)
+def _build_pass_final_fn(kind: str, cfg, length: int, max_shift: int,
+                         segment_length: int, target: int, stride: int,
+                         batch_size: int, transition_power: float,
+                         n_sources: int, audio_channels: int,
+                         transfer_dtype: tp.Optional[str]):
+    """Single-dispatch track program for the DEFAULT serving shape (one
+    model, one shift pass, uniform targets): the full pass body + normalize
+    + wire-format + chunk-slice in ONE executable — a track costs one
+    program launch + the fetch instead of pass + final + fetch
+    (tools/probe_engine.py attributed ~24 ms of relay RTT per extra launch)."""
+    body = _make_pass_body(kind, cfg, length, max_shift, segment_length,
+                           target, stride, batch_size, transition_power,
+                           n_sources, audio_channels)
+    fin = _final_body(transfer_dtype, length,
+                      n_sources * audio_channels * _WIRE_BYTES[transfer_dtype])
+
+    def fused(params, track_buf, shift_offset, scale, totals):
+        accum = body(params, track_buf, shift_offset,
+                     jnp.zeros((n_sources, audio_channels, length),
+                               jnp.float32), scale)
+        return fin(accum, totals)
+
+    return jax.jit(fused)
 
 
 _INT8_BLOCK = 1024
@@ -989,14 +1031,52 @@ def _dispatch_track(
         bag_fn = _build_stacked_bag_fn(
             first.kind, first.cfg, L, max_shift, segment_length, target,
             stride, batch_size, transition_power, n_sources, C,
-            len(models), n_passes)
-        accum = bag_fn(
-            _stack_member_params(models), track_dev[key], jnp.asarray(offs),
-            jnp.zeros((n_sources, C, L), jnp.float32),
-            jnp.asarray(np.asarray(weights, np.float32)))
+            len(models), n_passes, transfer_dtype)
         totals = np.asarray(weights, np.float64).sum(axis=0) * n_passes
-        return _dispatch_final(accum, totals, transfer_dtype, n_sources, C, L,
-                               orig_length)
+        result = bag_fn(
+            _stack_member_params(models), track_dev[key], jnp.asarray(offs),
+            jnp.asarray(np.asarray(weights, np.float32)),
+            jnp.asarray(totals, jnp.float32))
+        return result, transfer_dtype, orig_length
+
+    # The DEFAULT serving shape (one model, one shift pass, uniform targets,
+    # single device): the whole track is ONE program — pass + normalize +
+    # wire-format fused (_build_pass_final_fn) — plus the fetch. Saves a
+    # program launch (~24 ms relay RTT) over pass-then-final.
+    single_fused = (
+        len(models) == 1
+        and max(1, shifts) == 1
+        and mesh is None
+        and (tail_mode == "uniform"
+             or (first.kind == "htdemucs"
+                 and (first.uses_train_segment or segment is not None)))
+    )
+    if single_fused:
+        sub_model = models[0]
+        seg_f = segment if segment is not None else sub_model.segment
+        segment_length = int(samplerate * seg_f)
+        stride = int((1 - overlap) * segment_length)
+        target = sub_model.leaf_target(segment_length, segment)
+        key = (segment_length, target)
+        track_dev = dict(prestaged) if prestaged else {}
+        if key not in track_dev:
+            wire = mix[0]
+            if input_transfer_dtype == "float16":
+                wire = wire.astype(np.float16)
+            track_dev[key] = _upload_track(wire, C, L, target, max_shift)
+        offset = rng.randint(0, max_shift) if shifts else 0
+        if progress:
+            print("1 model x 1 shift pass: fused single-program dispatch",
+                  flush=True)
+        fused = _build_pass_final_fn(
+            sub_model.kind, sub_model.cfg, L, max_shift, segment_length,
+            target, stride, batch_size, transition_power, n_sources, C,
+            transfer_dtype)
+        w = np.asarray(weights[0], np.float64)
+        result = fused(sub_model.params, track_dev[key], jnp.int32(offset),
+                       jnp.asarray(w, jnp.float32),
+                       jnp.asarray(w, jnp.float32))
+        return result, transfer_dtype, orig_length
 
     accum = None
     track_dev = dict(prestaged) if prestaged else {}
