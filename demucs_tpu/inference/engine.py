@@ -884,8 +884,12 @@ def _dispatch_track(
     bag_mode: str = "auto",
 ):
     """Upload + dispatch all device work for one track (asynchronously),
-    including the final normalize/wire-format program; returns the pending
-    device results for ``_gather_stems`` to block on.
+    including the final normalize/wire-format stage; returns the pending
+    device results for ``_gather_stems`` to block on. The default serving
+    shape (one model, one shift pass, uniform targets) and the stacked bag
+    path run as a SINGLE fused program (pass + normalize + wire,
+    ``_build_pass_final_fn``); multi-pass/exact-tail/mesh paths accumulate
+    across programs and finish with the separate final program.
 
     ``input_transfer_dtype="auto"`` follows ``transfer_dtype``: a bit-exact
     output request (None) implies a bit-exact (fp32) input upload.
