@@ -1,11 +1,13 @@
-"""Host-side audio I/O: any-format read via ffmpeg, native WAV fallback,
-wav/flac/mp3 write, clip handling.
+"""Host-side audio I/O: any-format read via ffmpeg, native WAV/FLAC/mp3
+codecs, clip handling.
 
 Behavioral reference: ``demucs/audio.py``. Differences by design:
-- torch/torchaudio/lameenc are replaced by numpy + an in-repo WAV codec
+- torch/torchaudio are replaced by numpy + an in-repo WAV codec
   (16/24/32-bit PCM + float32) so the framework has zero torch dependency at
-  inference time; mp3/flac encode and non-WAV decode shell out to ffmpeg when
-  the binary is present (audio.py:20-126 does the same for decode).
+  inference time; FLAC is the first-party ``flacio`` codec and mp3 binds
+  libmp3lame/libmpg123 directly (``mp3io`` — the same LAME library the
+  reference's lameenc wraps); non-WAV/FLAC/mp3 decode shells out to ffmpeg
+  when the binary is present (audio.py:20-126 does the same for decode).
 - Resampling uses the julius-equivalent sinc resampler (ops/resample.py).
 """
 
@@ -277,10 +279,15 @@ def read_audio(path, samplerate: tp.Optional[int] = None,
         wav = af.read(streams=0)
         sr = af.samplerate()
     else:
-        raise RuntimeError(
-            f"Cannot read {path}: ffmpeg is not installed and the file is not "
-            "WAV/FLAC."
-        )
+        from demucs_tpu import mp3io
+
+        if path.suffix.lower() == ".mp3" and mp3io.mpg123_available():
+            wav, sr = mp3io.read_mp3(path)
+        else:
+            raise RuntimeError(
+                f"Cannot read {path}: ffmpeg is not installed and the file is "
+                "not WAV/FLAC/mp3."
+            )
     if channels is not None:
         wav = convert_audio_channels(wav, channels)
     if samplerate is not None and samplerate != sr:
@@ -356,9 +363,11 @@ def _encode_with_ffmpeg(wav: np.ndarray, path, samplerate: int, suffix: str,
 def save_audio(wav: np.ndarray, path, samplerate: int, bitrate: int = 320,
                clip: str = "rescale", bits_per_sample: int = 16,
                as_float: bool = False, preset: int = 2) -> None:
-    """Save audio with clip prevention (audio.py:236-265). ``.wav`` is native;
-    ``.mp3``/``.flac`` go through ffmpeg."""
-    del preset  # mp3 quality preset applies to lameenc only
+    """Save audio with clip prevention (audio.py:236-265). ``.wav``/``.flac``
+    are first-party codecs; ``.mp3`` encodes through libmp3lame — the same
+    library the reference's ``lameenc`` wraps (audio.py:199-215) — honoring
+    the ``preset`` quality knob (2 best .. 7 fastest), with an ffmpeg-CLI
+    fallback when LAME is absent."""
     wav = prevent_clip(np.asarray(wav, dtype=np.float32), mode=clip)
     path = Path(path)
     suffix = path.suffix.lower()
@@ -371,6 +380,12 @@ def save_audio(wav: np.ndarray, path, samplerate: int, bitrate: int = 320,
 
         write_flac(path, wav, samplerate, bits_per_sample=bits_per_sample)
     elif suffix == ".mp3":
-        _encode_with_ffmpeg(wav, path, samplerate, suffix, bitrate, bits_per_sample)
+        from demucs_tpu import mp3io
+
+        if mp3io.lame_available():
+            mp3io.write_mp3(path, wav, samplerate, bitrate, quality=preset)
+        else:
+            _encode_with_ffmpeg(wav, path, samplerate, suffix, bitrate,
+                                bits_per_sample)
     else:
         raise ValueError(f"Invalid suffix for path: {suffix}")

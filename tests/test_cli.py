@@ -8,6 +8,9 @@ import numpy as np
 import pytest
 
 from demucs_tpu import audio as dta
+from demucs_tpu import mp3io
+
+_MP3 = mp3io.lame_available() and mp3io.mpg123_available()
 
 
 @pytest.fixture(scope="module")
@@ -40,9 +43,14 @@ def _run_cli(args):
         ["--no-split", "--shifts", "0"],
         ["--flac"],
         ["--flac", "--int24"],
+        pytest.param(["--mp3"], marks=pytest.mark.skipif(
+            not _MP3, reason="libmp3lame/libmpg123 unavailable")),
+        pytest.param(["--mp3", "--mp3-bitrate", "128", "--mp3-preset", "7"],
+                     marks=pytest.mark.skipif(
+                         not _MP3, reason="libmp3lame/libmpg123 unavailable")),
     ],
     ids=["plain", "two_stems", "two_stems_minus", "int24_clamp", "float32", "segment", "no_split",
-         "flac", "flac_int24"],
+         "flac", "flac_int24", "mp3", "mp3_128_q7"],
 )
 def test_cli_matrix(track, tmp_path, extra):
     path, wav, sr = track
@@ -50,7 +58,7 @@ def test_cli_matrix(track, tmp_path, extra):
     _run_cli([path, "-n", "demucs_unittest", "-o", out, "--shifts", "0", *extra])
     stems_dir = out / "demucs_unittest" / "test"
     files = sorted(p.name for p in stems_dir.iterdir())
-    ext = ".flac" if "--flac" in extra else ".wav"
+    ext = ".mp3" if "--mp3" in extra else (".flac" if "--flac" in extra else ".wav")
     if "--two-stems" in [str(e) for e in extra]:
         assert f"vocals{ext}" in files
         assert (f"no_vocals{ext}" in files) or (f"minus_vocals{ext}" in files)
