@@ -23,6 +23,7 @@ sdr:
 
 native:
 	g++ -O3 -shared -fPIC -pthread -std=c++17 native/wavio.cpp -o native/wavio.so
+	g++ -O3 -shared -fPIC -std=c++17 native/avio.cpp -lavformat -lavcodec -lavutil -o native/avio.so
 
 # Fails on findings (no `|| true`): the built-in AST pass always runs;
 # flake8/mypy run additionally wherever they are installed (setup.cfg /

@@ -279,10 +279,14 @@ def read_audio(path, samplerate: tp.Optional[int] = None,
         wav = af.read(streams=0)
         sr = af.samplerate()
     else:
-        from demucs_tpu import mp3io
+        from demucs_tpu import avio, mp3io
 
         if path.suffix.lower() == ".mp3" and mp3io.mpg123_available():
             wav, sr = mp3io.read_mp3(path)
+        elif avio.available():
+            # hermetic any-format fallback: the ffmpeg *libraries* without
+            # the binary (ogg/m4a/... — what the reference needs the CLI for)
+            wav, sr = avio.read_pcm(path)
         else:
             raise RuntimeError(
                 f"Cannot read {path}: ffmpeg is not installed and the file is "
