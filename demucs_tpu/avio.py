@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "decode_file", "read_pcm", "encode_flac"]
+__all__ = ["available", "decode_file", "read_pcm", "encode_flac", "encode"]
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "avio.cpp"
 _LIB = _SRC.with_suffix(".so")
@@ -70,6 +70,11 @@ def _get_lib() -> tp.Optional[ctypes.CDLL]:
     lib.avio_encode_flac.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    lib.avio_encode.restype = ctypes.c_int
+    lib.avio_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
         ctypes.c_char_p, ctypes.c_int]
     lib.avio_free.restype = None
     lib.avio_free.argtypes = [ctypes.c_void_p]
@@ -147,3 +152,25 @@ def encode_flac(path, pcm: np.ndarray, samplerate: int,
         int(compression_level), err, len(err))
     if rc != 0:
         raise RuntimeError(f"avio_encode_flac({path}): {err.value.decode()}")
+
+
+def encode(path, wav: np.ndarray, samplerate: int, codec: str,
+           bitrate: int = 0) -> None:
+    """Encode normalized float32 ``(C, T)`` with any named libavcodec
+    encoder (muxer from the file extension): synthesizes ogg/m4a/... inputs
+    for testing read_audio's any-format fallback. ``bitrate`` 0 = encoder
+    default."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("avio (libavcodec shim) is unavailable")
+    wav = np.asarray(wav, dtype=np.float32)
+    assert wav.ndim == 2, wav.shape
+    channels, frames = wav.shape
+    inter = np.ascontiguousarray(wav.T)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.avio_encode(
+        str(path).encode(), codec.encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames, channels, int(samplerate), int(bitrate), err, len(err))
+    if rc != 0:
+        raise RuntimeError(f"avio_encode({path}, {codec}): {err.value.decode()}")

@@ -15,6 +15,7 @@ extern "C" {
 #include <libavutil/opt.h>
 }
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -48,55 +49,55 @@ bool append_frame(const AVFrame* f, int channels, bool as_float,
     int32_t* dst = out.data() + base;
     switch (f->format) {
     case AV_SAMPLE_FMT_S16: {
-        const int16_t* src = (const int16_t*)f->data[0];
+        const int16_t* src = (const int16_t*)f->extended_data[0];
         for (int i = 0; i < n * channels; i++) dst[i] = src[i];
         return !as_float;
     }
     case AV_SAMPLE_FMT_S16P:
         for (int c = 0; c < channels; c++) {
-            const int16_t* src = (const int16_t*)f->data[c];
+            const int16_t* src = (const int16_t*)f->extended_data[c];
             for (int i = 0; i < n; i++) dst[i * channels + c] = src[i];
         }
         return !as_float;
     case AV_SAMPLE_FMT_S32: {
-        const int32_t* src = (const int32_t*)f->data[0];
+        const int32_t* src = (const int32_t*)f->extended_data[0];
         memcpy(dst, src, sizeof(int32_t) * n * channels);
         return !as_float;
     }
     case AV_SAMPLE_FMT_S32P:
         for (int c = 0; c < channels; c++) {
-            const int32_t* src = (const int32_t*)f->data[c];
+            const int32_t* src = (const int32_t*)f->extended_data[c];
             for (int i = 0; i < n; i++) dst[i * channels + c] = src[i];
         }
         return !as_float;
     case AV_SAMPLE_FMT_FLT: {
-        memcpy(dst, f->data[0], sizeof(float) * n * channels);
+        memcpy(dst, f->extended_data[0], sizeof(float) * n * channels);
         return as_float;
     }
     case AV_SAMPLE_FMT_FLTP: {
         float* fdst = (float*)dst;
         for (int c = 0; c < channels; c++) {
-            const float* src = (const float*)f->data[c];
+            const float* src = (const float*)f->extended_data[c];
             for (int i = 0; i < n; i++) fdst[i * channels + c] = src[i];
         }
         return as_float;
     }
     case AV_SAMPLE_FMT_DBL: {
         float* fdst = (float*)dst;
-        const double* src = (const double*)f->data[0];
+        const double* src = (const double*)f->extended_data[0];
         for (int i = 0; i < n * channels; i++) fdst[i] = (float)src[i];
         return as_float;
     }
     case AV_SAMPLE_FMT_DBLP: {
         float* fdst = (float*)dst;
         for (int c = 0; c < channels; c++) {
-            const double* src = (const double*)f->data[c];
+            const double* src = (const double*)f->extended_data[c];
             for (int i = 0; i < n; i++) fdst[i * channels + c] = (float)src[i];
         }
         return as_float;
     }
     case AV_SAMPLE_FMT_U8: {
-        const uint8_t* src = (const uint8_t*)f->data[0];
+        const uint8_t* src = (const uint8_t*)f->extended_data[0];
         for (int i = 0; i < n * channels; i++) dst[i] = (int32_t)src[i] - 128;
         return !as_float;
     }
@@ -272,14 +273,154 @@ int avio_encode_flac(const char* path, const int32_t* pcm, long long frames,
             frame->sample_rate = samplerate;
             if (av_frame_get_buffer(frame, 0) < 0) { ok = false; break; }
             if (bits == 16) {
-                int16_t* dst = (int16_t*)frame->data[0];
+                int16_t* dst = (int16_t*)frame->extended_data[0];
                 for (long long i = 0; i < (long long)n * channels; i++)
                     dst[i] = (int16_t)pcm[pos * channels + i];
             } else {
-                int32_t* dst = (int32_t*)frame->data[0];
+                int32_t* dst = (int32_t*)frame->extended_data[0];
                 for (long long i = 0; i < (long long)n * channels; i++)
                     dst[i] = pcm[pos * channels + i] << 8;  // 24-in-32, high
             }
+            frame->pts = pos;
+            ok = avcodec_send_frame(ctx, frame) >= 0 && pump();
+            av_frame_unref(frame);
+            pos += n;
+        }
+        if (ok) ok = avcodec_send_frame(ctx, nullptr) >= 0 && pump();
+        if (!ok) { set_err(err, errlen, "encode failed"); break; }
+        ret = av_write_trailer(oc);
+        if (ret < 0) { set_err(err, errlen, "write_trailer", ret); break; }
+        rc = 0;
+    } while (false);
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (ctx) avcodec_free_context(&ctx);
+    if (opened_io) avio_closep(&oc->pb);
+    avformat_free_context(oc);
+    return rc;
+}
+
+// Encode normalized float32 interleaved PCM with an arbitrary named
+// libavcodec encoder (muxer guessed from the path extension) — used by the
+// tests to synthesize ogg/m4a/... inputs for read_audio's any-format
+// fallback. bitrate==0 leaves the encoder default.
+int avio_encode(const char* path, const char* codec_name, const float* pcm,
+                long long frames, int channels, int samplerate,
+                long long bitrate, char* err, int errlen) {
+    AVFormatContext* oc = nullptr;
+    AVCodecContext* ctx = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
+    if (ret < 0 || !oc) { set_err(err, errlen, "alloc output", ret); return -1; }
+    int rc = -1;
+    bool opened_io = false;
+    do {
+        const AVCodec* enc = avcodec_find_encoder_by_name(codec_name);
+        if (!enc) { set_err(err, errlen, "encoder not found"); break; }
+        AVStream* st = avformat_new_stream(oc, nullptr);
+        if (!st) { set_err(err, errlen, "new stream"); break; }
+        ctx = avcodec_alloc_context3(enc);
+        if (!ctx) { set_err(err, errlen, "alloc codec ctx"); break; }
+        ctx->sample_rate = samplerate;
+        av_channel_layout_default(&ctx->ch_layout, channels);
+        // first supported format from a fidelity-ordered preference list
+        static const AVSampleFormat prefs[] = {
+            AV_SAMPLE_FMT_FLT, AV_SAMPLE_FMT_FLTP, AV_SAMPLE_FMT_S32,
+            AV_SAMPLE_FMT_S32P, AV_SAMPLE_FMT_S16, AV_SAMPLE_FMT_S16P};
+        ctx->sample_fmt = AV_SAMPLE_FMT_NONE;
+        if (enc->sample_fmts) {
+            for (AVSampleFormat p : prefs) {
+                for (const AVSampleFormat* f = enc->sample_fmts;
+                     *f != AV_SAMPLE_FMT_NONE && ctx->sample_fmt == AV_SAMPLE_FMT_NONE;
+                     f++)
+                    if (*f == p) ctx->sample_fmt = p;
+                if (ctx->sample_fmt != AV_SAMPLE_FMT_NONE) break;
+            }
+        }
+        if (ctx->sample_fmt == AV_SAMPLE_FMT_NONE)
+            ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+        if (bitrate > 0) ctx->bit_rate = bitrate;
+        ctx->time_base = AVRational{1, samplerate};
+        ctx->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
+        if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+            ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+        ret = avcodec_open2(ctx, enc, nullptr);
+        if (ret < 0) { set_err(err, errlen, "codec open", ret); break; }
+        ret = avcodec_parameters_from_context(st->codecpar, ctx);
+        if (ret < 0) { set_err(err, errlen, "params_from_context", ret); break; }
+        st->time_base = ctx->time_base;
+        ret = avio_open(&oc->pb, path, AVIO_FLAG_WRITE);
+        if (ret < 0) { set_err(err, errlen, "file open", ret); break; }
+        opened_io = true;
+        ret = avformat_write_header(oc, nullptr);
+        if (ret < 0) { set_err(err, errlen, "write_header", ret); break; }
+
+        pkt = av_packet_alloc();
+        frame = av_frame_alloc();
+        const int step = ctx->frame_size > 0 ? ctx->frame_size : 4096;
+        bool ok = true;
+        auto pump = [&]() {
+            while (true) {
+                int r = avcodec_receive_packet(ctx, pkt);
+                if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+                if (r < 0) return false;
+                av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+                pkt->stream_index = st->index;
+                if (av_interleaved_write_frame(oc, pkt) < 0) return false;
+            }
+        };
+        long long pos = 0;
+        while (pos < frames && ok) {
+            const int n = (int)((frames - pos) < step ? (frames - pos) : step);
+            frame->nb_samples = n;
+            frame->format = ctx->sample_fmt;
+            av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+            frame->sample_rate = samplerate;
+            if (av_frame_get_buffer(frame, 0) < 0) { ok = false; break; }
+            const float* src = pcm + pos * channels;
+            switch (ctx->sample_fmt) {
+            case AV_SAMPLE_FMT_FLT: {
+                float* dst = (float*)frame->extended_data[0];
+                memcpy(dst, src, sizeof(float) * n * channels);
+                break;
+            }
+            case AV_SAMPLE_FMT_FLTP:
+                for (int c = 0; c < channels; c++) {
+                    float* dst = (float*)frame->extended_data[c];
+                    for (int i = 0; i < n; i++) dst[i] = src[i * channels + c];
+                }
+                break;
+            case AV_SAMPLE_FMT_S16: {
+                int16_t* dst = (int16_t*)frame->extended_data[0];
+                for (long long i = 0; i < (long long)n * channels; i++)
+                    dst[i] = (int16_t)lrintf(src[i] * 32767.0f);
+                break;
+            }
+            case AV_SAMPLE_FMT_S16P:
+                for (int c = 0; c < channels; c++) {
+                    int16_t* dst = (int16_t*)frame->extended_data[c];
+                    for (int i = 0; i < n; i++)
+                        dst[i] = (int16_t)lrintf(src[i * channels + c] * 32767.0f);
+                }
+                break;
+            case AV_SAMPLE_FMT_S32: {
+                int32_t* dst = (int32_t*)frame->extended_data[0];
+                for (long long i = 0; i < (long long)n * channels; i++)
+                    dst[i] = (int32_t)lrintf(src[i] * 2147483520.0f);
+                break;
+            }
+            case AV_SAMPLE_FMT_S32P:
+                for (int c = 0; c < channels; c++) {
+                    int32_t* dst = (int32_t*)frame->extended_data[c];
+                    for (int i = 0; i < n; i++)
+                        dst[i] = (int32_t)lrintf(src[i * channels + c] * 2147483520.0f);
+                }
+                break;
+            default:
+                ok = false;
+            }
+            if (!ok) break;
             frame->pts = pos;
             ok = avcodec_send_frame(ctx, frame) >= 0 && pump();
             av_frame_unref(frame);

@@ -1,11 +1,17 @@
 """Skip-gated tests for every external-binary/optional-package seam.
 
-This environment ships none of ffmpeg / museval / soundstretch, so the
-framework's native fallbacks are what the rest of the suite exercises. These
-tests are the ACTIVATION matrix for the gated paths: on a machine with the
-binaries installed they run the reference-parity checks that are impossible
-here (reference Makefile `test_eval` --mp3 case; museval cross-check of
-ops/bsseval; soundstretch cross-check of the native WSOLA repitch)."""
+This environment ships none of the ffmpeg / museval / soundstretch
+BINARIES, so these tests are the ACTIVATION matrix for the subprocess-gated
+paths: on a machine with the binaries installed they run the
+reference-parity checks that need them (reference Makefile `test_eval`
+--mp3 case; museval cross-check of ops/bsseval; soundstretch cross-check of
+the native WSOLA repitch).
+
+Note (round 5): the codec halves of this matrix DO execute in this
+environment through the ffmpeg *libraries* — see tests/test_flac_crossval.py
+(flacio <-> libavcodec bit-exact both directions, LAME mp3 under two
+independent decoders, WAV layouts) and tests/test_mp3.py. What remains
+binary/package-gated here is museval (not installed) and soundstretch."""
 
 import importlib.util
 import shutil

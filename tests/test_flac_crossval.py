@@ -162,3 +162,30 @@ def test_wav_writer_avcodec_decode(tmp_path, spec):
 def test_decode_errors():
     with pytest.raises(RuntimeError):
         avio.decode_file("/nonexistent/file.flac")
+
+
+@pytest.mark.parametrize("spec", [("x.ogg", "libvorbis", 128000, 25.0),
+                                  ("x.m4a", "alac", 0, 90.0),
+                                  ("x.wv", "wavpack", 0, 90.0)],
+                         ids=["ogg_vorbis", "m4a_alac", "wavpack"])
+def test_read_audio_any_format_fallback(tmp_path, spec):
+    """read_audio's hermetic any-format path (the avio shim): formats the
+    reference can only read through the ffmpeg CLI (demucs/audio.py:28-140)
+    decode here with no binary — lossless codecs near-exactly, vorbis at
+    codec-typical SNR."""
+    fname, codec, bitrate, min_snr = spec
+    if dta.ffmpeg_available():
+        pytest.skip("read_audio prefers the ffmpeg reader when installed")
+    sr = 44100
+    t = np.arange(sr) / sr
+    wav = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                    0.5 * np.sin(2 * np.pi * 330 * t)]).astype(np.float32)
+    path = tmp_path / fname
+    avio.encode(path, wav, sr, codec, bitrate)
+    got, gsr = dta.read_audio(path)
+    assert gsr == sr
+    assert got.shape[0] == 2
+    n = min(got.shape[1], wav.shape[1])
+    assert n > 0.99 * sr  # length preserved modulo codec edge padding
+    err = np.mean((got[:, :n] - wav[:, :n]) ** 2)
+    assert 10 * np.log10(np.mean(wav[:, :n] ** 2) / max(err, 1e-30)) > min_snr
