@@ -48,11 +48,27 @@ def _read_info(path) -> dict:
 
 class AudioFile:
     """Read audio from any ffmpeg-supported format, multi-stream aware
-    (audio.py:28-140). Requires the ffmpeg/ffprobe binaries."""
+    (audio.py:28-140). Uses the ffmpeg/ffprobe binaries when installed,
+    otherwise the in-process libavcodec shim (``demucs_tpu.avio``) — same
+    codec implementations, no subprocess. One semantic difference in shim
+    mode: ``seek_time`` is sample-exact (decode + trim) where ffmpeg's
+    ``-ss`` seeks to the nearest syncpoint."""
 
     def __init__(self, path):
         self.path = Path(path)
         self._info: tp.Optional[dict] = None
+        self._probe: tp.Optional[tuple] = None
+
+    @property
+    def _use_ffmpeg(self) -> bool:
+        return ffmpeg_available()
+
+    def _avio_probe(self) -> tuple:
+        if self._probe is None:
+            from demucs_tpu import avio
+
+            self._probe = avio.probe(self.path)
+        return self._probe
 
     def __repr__(self):
         return (
@@ -68,6 +84,8 @@ class AudioFile:
 
     @property
     def duration(self) -> float:
+        if not self._use_ffmpeg:
+            return self._avio_probe()[1]
         return float(self.info["format"]["duration"])
 
     @property
@@ -79,12 +97,18 @@ class AudioFile:
         ]
 
     def __len__(self):
+        if not self._use_ffmpeg:
+            return len(self._avio_probe()[0])
         return len(self._audio_streams)
 
     def channels(self, stream=0) -> int:
+        if not self._use_ffmpeg:
+            return self._avio_probe()[0][stream]["channels"]
         return int(self.info["streams"][self._audio_streams[stream]]["channels"])
 
     def samplerate(self, stream=0) -> int:
+        if not self._use_ffmpeg:
+            return self._avio_probe()[0][stream]["samplerate"]
         return int(self.info["streams"][self._audio_streams[stream]]["sample_rate"])
 
     def read(self, seek_time=None, duration=None, streams=slice(None),
@@ -102,6 +126,27 @@ class AudioFile:
         else:
             target_size = int((samplerate or self.samplerate()) * duration)
             query_duration = float((target_size + 1) / (samplerate or self.samplerate()))
+
+        if not self._use_ffmpeg:
+            from demucs_tpu import avio
+
+            wavs = []
+            for stream in streams_arr:
+                wav = avio.read_pcm(self.path, int(stream))[0]
+                native_sr = self.samplerate(int(stream))
+                if seek_time:
+                    wav = wav[..., int(seek_time * native_sr):]
+                if samplerate is not None and samplerate != native_sr:
+                    wav = np.asarray(resample(wav, native_sr, samplerate))
+                if channels is not None:
+                    wav = convert_audio_channels(wav, channels)
+                if target_size is not None:
+                    wav = wav[..., :target_size]
+                wavs.append(wav)
+            wav = np.stack(wavs, axis=0)
+            if single:
+                wav = wav[0]
+            return wav
 
         wavs = []
         with tempfile.TemporaryDirectory() as tmp:

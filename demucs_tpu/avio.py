@@ -59,13 +59,17 @@ def _get_lib() -> tp.Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB))
     except OSError:
         return None
-    lib.avio_decode.restype = ctypes.c_int
-    lib.avio_decode.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
+    lib.avio_decode_stream.restype = ctypes.c_int
+    lib.avio_decode_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_char_p, ctypes.c_int]
+    lib.avio_probe.restype = ctypes.c_int
+    lib.avio_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_char_p, ctypes.c_int]
     lib.avio_encode_flac.restype = ctypes.c_int
     lib.avio_encode_flac.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
@@ -86,8 +90,9 @@ def available() -> bool:
     return _get_lib() is not None
 
 
-def decode_file(path) -> tp.Tuple[np.ndarray, int, int, int]:
-    """Decode any libavcodec-supported audio file.
+def decode_file(path, stream: int = -1) -> tp.Tuple[np.ndarray, int, int, int]:
+    """Decode a libavcodec-supported audio file (``stream``: 0-based ordinal
+    among the file's AUDIO streams, -1 = libavformat's best pick).
 
     Returns ``(samples, samplerate, bits, container)`` where ``samples`` is
     ``(C, T)``: int32 with VERBATIM decoder values for integer codecs
@@ -106,11 +111,12 @@ def decode_file(path) -> tp.Tuple[np.ndarray, int, int, int]:
     bits = ctypes.c_int()
     container = ctypes.c_int()
     err = ctypes.create_string_buffer(256)
-    rc = lib.avio_decode(str(path).encode(), ctypes.byref(out),
-                         ctypes.byref(frames), ctypes.byref(channels),
-                         ctypes.byref(samplerate), ctypes.byref(fmt),
-                         ctypes.byref(bits), ctypes.byref(container),
-                         err, len(err))
+    rc = lib.avio_decode_stream(str(path).encode(), int(stream),
+                                ctypes.byref(out),
+                                ctypes.byref(frames), ctypes.byref(channels),
+                                ctypes.byref(samplerate), ctypes.byref(fmt),
+                                ctypes.byref(bits), ctypes.byref(container),
+                                err, len(err))
     if rc != 0:
         raise RuntimeError(f"avio_decode({path}): {err.value.decode()}")
     try:
@@ -124,13 +130,35 @@ def decode_file(path) -> tp.Tuple[np.ndarray, int, int, int]:
             samplerate.value, bits.value, container.value)
 
 
-def read_pcm(path) -> tp.Tuple[np.ndarray, int]:
+def read_pcm(path, stream: int = -1) -> tp.Tuple[np.ndarray, int]:
     """Decode to normalized float32 ``(C, T)`` in [-1, 1] + samplerate —
     the ``read_audio`` fallback contract."""
-    arr, sr, _bits, container = decode_file(path)
+    arr, sr, _bits, container = decode_file(path, stream)
     if arr.dtype == np.float32:
         return arr, sr
     return (arr.astype(np.float32) / float(1 << (container - 1))), sr
+
+
+def probe(path) -> tp.Tuple[tp.List[dict], float]:
+    """Container metadata without decoding: a list of per-audio-stream dicts
+    ``{channels, samplerate, frames}`` (frames 0 if the container doesn't
+    say) plus the container duration in seconds (-1 if unknown)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("avio (libavcodec shim) is unavailable")
+    max_streams = 64
+    meta = (ctypes.c_longlong * (3 * max_streams))()
+    dur = ctypes.c_double(-1.0)
+    err = ctypes.create_string_buffer(256)
+    n = lib.avio_probe(str(path).encode(), meta, max_streams,
+                       ctypes.byref(dur), err, len(err))
+    if n < 0:
+        raise RuntimeError(f"avio_probe({path}): {err.value.decode()}")
+    streams = [{"channels": int(meta[3 * k]),
+                "samplerate": int(meta[3 * k + 1]),
+                "frames": int(meta[3 * k + 2])}
+               for k in range(min(n, max_streams))]
+    return streams, float(dur.value)
 
 
 def encode_flac(path, pcm: np.ndarray, samplerate: int,

@@ -124,10 +124,13 @@ void avio_free(void* p) { av_free(p); }
 //   *container-> sample container width (16 or 32): integer decoders
 //                left-justify raw samples in the container, so full-scale
 //                normalization divides by 2^(container-1)
+//   stream_ordinal: which AUDIO stream to decode (0-based among audio
+//   streams), or -1 for libavformat's "best" pick.
 // Returns 0 on success, negative on error (message in err).
-int avio_decode(const char* path, void** out, long long* frames,
-                int* channels, int* samplerate, int* fmt, int* bits,
-                int* container, char* err, int errlen) {
+int avio_decode_stream(const char* path, int stream_ordinal, void** out,
+                       long long* frames, int* channels, int* samplerate,
+                       int* fmt, int* bits, int* container,
+                       char* err, int errlen) {
     AVFormatContext* ic = nullptr;
     AVCodecContext* ctx = nullptr;
     AVPacket* pkt = nullptr;
@@ -139,8 +142,19 @@ int avio_decode(const char* path, void** out, long long* frames,
         ret = avformat_find_stream_info(ic, nullptr);
         if (ret < 0) { set_err(err, errlen, "find_stream_info", ret); break; }
         const AVCodec* dec = nullptr;
-        int si = av_find_best_stream(ic, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
-        if (si < 0 || !dec) { set_err(err, errlen, "no audio stream"); break; }
+        int si = -1;
+        if (stream_ordinal < 0) {
+            si = av_find_best_stream(ic, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+        } else {
+            int seen = 0;
+            for (unsigned i = 0; i < ic->nb_streams; i++) {
+                if (ic->streams[i]->codecpar->codec_type == AVMEDIA_TYPE_AUDIO
+                    && seen++ == stream_ordinal) { si = (int)i; break; }
+            }
+            if (si >= 0)
+                dec = avcodec_find_decoder(ic->streams[si]->codecpar->codec_id);
+        }
+        if (si < 0 || !dec) { set_err(err, errlen, "no such audio stream"); break; }
         AVStream* st = ic->streams[si];
         ctx = avcodec_alloc_context3(dec);
         if (!ctx) { set_err(err, errlen, "alloc codec ctx"); break; }
@@ -206,6 +220,45 @@ int avio_decode(const char* path, void** out, long long* frames,
     if (ctx) avcodec_free_context(&ctx);
     avformat_close_input(&ic);
     return rc;
+}
+
+// Probe container metadata without decoding.
+//   meta: per audio stream, 3 long longs: channels, samplerate, frame-count
+//         estimate (stream duration in samples; 0 if unknown).
+//   *duration_seconds: container-level duration (<0 if unknown).
+// Returns the number of audio streams (clamped to max_streams written).
+int avio_probe(const char* path, long long* meta, int max_streams,
+               double* duration_seconds, char* err, int errlen) {
+    AVFormatContext* ic = nullptr;
+    int ret = avformat_open_input(&ic, path, nullptr, nullptr);
+    if (ret < 0) { set_err(err, errlen, "open_input", ret); return -1; }
+    ret = avformat_find_stream_info(ic, nullptr);
+    if (ret < 0) {
+        set_err(err, errlen, "find_stream_info", ret);
+        avformat_close_input(&ic);
+        return -1;
+    }
+    *duration_seconds = ic->duration > 0
+        ? (double)ic->duration / AV_TIME_BASE : -1.0;
+    int count = 0;
+    for (unsigned i = 0; i < ic->nb_streams; i++) {
+        const AVStream* st = ic->streams[i];
+        if (st->codecpar->codec_type != AVMEDIA_TYPE_AUDIO) continue;
+        if (count < max_streams) {
+            long long nframes = 0;
+            if (st->duration > 0 && st->time_base.den > 0)
+                nframes = av_rescale(st->duration,
+                                     (long long)st->codecpar->sample_rate
+                                         * st->time_base.num,
+                                     st->time_base.den);
+            meta[3 * count + 0] = st->codecpar->ch_layout.nb_channels;
+            meta[3 * count + 1] = st->codecpar->sample_rate;
+            meta[3 * count + 2] = nframes;
+        }
+        count++;
+    }
+    avformat_close_input(&ic);
+    return count;
 }
 
 // Encode interleaved PCM to a FLAC file with libavcodec's encoder.

@@ -189,3 +189,58 @@ def test_read_audio_any_format_fallback(tmp_path, spec):
     assert n > 0.99 * sr  # length preserved modulo codec edge padding
     err = np.mean((got[:, :n] - wav[:, :n]) ** 2)
     assert 10 * np.log10(np.mean(wav[:, :n] ** 2) / max(err, 1e-30)) > min_snr
+
+
+class TestAudioFileShimMode:
+    """AudioFile's library backend (no ffmpeg binary): same surface as the
+    subprocess mode — probe metadata, stream read, seek/duration windows,
+    on-the-fly resample/channel conversion (demucs/audio.py:28-140)."""
+
+    @pytest.fixture()
+    def files(self, tmp_path):
+        if dta.ffmpeg_available():
+            pytest.skip("AudioFile prefers the ffmpeg backend when installed")
+        sr = 44100
+        t = np.arange(2 * sr) / sr
+        wav = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                        0.5 * np.sin(2 * np.pi * 330 * t)]).astype(np.float32)
+        ogg = tmp_path / "x.ogg"
+        wv = tmp_path / "x.wav"
+        avio.encode(ogg, wav, sr, "libvorbis", 160000)
+        dta.write_wav(wv, wav, sr)
+        return wav, sr, ogg, wv
+
+    def test_probe_surface(self, files):
+        wav, sr, ogg, wv = files
+        for path in (ogg, wv):
+            af = dta.AudioFile(path)
+            assert len(af) == 1
+            assert af.channels() == 2
+            assert af.samplerate() == sr
+            assert abs(af.duration - 2.0) < 0.05
+            assert "AudioFile" in repr(af)
+
+    def test_read_full_exact_wav(self, files):
+        wav, sr, _ogg, wv = files
+        got = dta.AudioFile(wv).read(streams=0)
+        assert got.shape == wav.shape
+        # int16 write + container-scale read: ~1/32768 quantization floor
+        assert np.abs(got - wav).max() < 1e-4
+
+    def test_read_window_resample_mono(self, files):
+        wav, sr, ogg, wv = files
+        for path in (ogg, wv):
+            got = dta.AudioFile(path).read(
+                seek_time=0.25, duration=0.5, streams=0,
+                samplerate=22050, channels=1)
+            assert got.shape == (1, int(0.5 * 22050))
+        # wav window seek is sample-exact in shim mode
+        got = dta.AudioFile(wv).read(seek_time=0.25, duration=0.5, streams=0)
+        start = int(0.25 * sr)
+        want = wav[:, start:start + got.shape[-1]]
+        assert np.abs(got - want).max() < 1e-4
+
+    def test_read_streams_slice(self, files):
+        wav, sr, _ogg, wv = files
+        got = dta.AudioFile(wv).read(streams=slice(None))
+        assert got.shape == (1, 2, wav.shape[1])
