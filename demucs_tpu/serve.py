@@ -16,10 +16,13 @@ deployment story.
 Endpoints:
     GET  /healthz       -> {"status": "ok", model, samplerate, sources}
     GET  /models        -> the model zoo listing (api.list_models)
-    POST /separate      -> zip of per-stem wavs. Body: an audio file
-                           (wav always; anything else when ffmpeg exists).
-                           Query: shifts, overlap, stem (two_stems mode),
-                           float32=1, int24=1, clip=rescale|clamp|tanh|none.
+    POST /separate      -> zip of per-stem audio files. Body: an audio file
+                           (wav/flac/mp3 first-party; ogg/m4a/... through
+                           the libavcodec shim or ffmpeg). Query: shifts,
+                           overlap, stem (two_stems mode), float32=1,
+                           int24=1, clip=rescale|clamp|tanh|none,
+                           format=wav|flac|mp3 (the CLI's --flac/--mp3),
+                           bitrate=320, mp3_preset=2..7.
 
 Requests are processed one at a time (a lock guards the single chip);
 parallelism comes from segment batching inside a request, exactly like the
@@ -68,14 +71,29 @@ class SeparationService:
                        overlap: tp.Optional[float] = None,
                        stem: tp.Optional[str] = None,
                        float32: bool = False, int24: bool = False,
-                       clip: str = "rescale") -> bytes:
-        """Audio file bytes -> zip of stem wavs (two_stems when ``stem``)."""
-        from demucs_tpu.audio import read_audio, save_audio
+                       clip: str = "rescale", fmt: str = "wav",
+                       bitrate: int = 320, mp3_preset: int = 2) -> bytes:
+        """Audio file bytes -> zip of stem files (two_stems when ``stem``).
+
+        ``fmt`` mirrors the CLI's output-format flags: wav (default), flac
+        (first-party codec), mp3 (libmp3lame at ``bitrate`` kb/s, quality
+        ``mp3_preset`` 2 best .. 7 fastest)."""
+        from demucs_tpu.audio import ffmpeg_available, read_audio, save_audio
 
         sep = self.separator
         if stem is not None and stem not in sep.model.sources:
             raise ValueError(
                 f"unknown stem {stem!r}; available: {list(sep.model.sources)}")
+        if fmt not in ("wav", "flac", "mp3"):
+            raise ValueError(f"unknown format {fmt!r}; use wav/flac/mp3")
+        if fmt == "mp3":
+            from demucs_tpu import mp3io
+
+            if not (mp3io.lame_available() or ffmpeg_available()):
+                raise ValueError(
+                    "mp3 output needs libmp3lame or ffmpeg on the server")
+            if not 2 <= mp3_preset <= 7:
+                raise ValueError(f"mp3_preset must be 2..7, got {mp3_preset}")
         with tempfile.TemporaryDirectory() as td:
             # The native decoder keys on the .wav suffix; anything else rides
             # the ffmpeg path (which sniffs the container itself).
@@ -113,14 +131,21 @@ class SeparationService:
                 stems = {stem: stems[stem], f"no_{stem}": rest}
 
             buf = io.BytesIO()
-            kwargs = dict(clip=clip,
-                          bits_per_sample=32 if float32 else 24 if int24 else 16,
-                          as_float=float32)
+            # wav: float32 means PCM_F; flac/mp3 follow the CLI's law
+            # (bits = 24 if int24 else 16, as_float wav-only)
+            if fmt == "wav":
+                bits = 32 if float32 else 24 if int24 else 16
+            else:
+                bits = 24 if int24 else 16
+            kwargs = dict(clip=clip, bits_per_sample=bits,
+                          as_float=float32 and fmt == "wav")
+            if fmt == "mp3":
+                kwargs.update(bitrate=bitrate, preset=mp3_preset)
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
                 for name, audio in stems.items():
-                    dest = Path(td) / f"{name}.wav"
+                    dest = Path(td) / f"{name}.{fmt}"
                     save_audio(np.asarray(audio), dest, sep.samplerate, **kwargs)
-                    zf.write(dest, f"{name}.wav")
+                    zf.write(dest, f"{name}.{fmt}")
             return buf.getvalue()
 
 
@@ -173,6 +198,10 @@ def make_server(service: SeparationService, host: str = "127.0.0.1",
                     float32=q.get("float32") in ("1", "true"),
                     int24=q.get("int24") in ("1", "true"),
                     clip=q.get("clip", "rescale"),
+                    fmt=q.get("format", "wav"),
+                    bitrate=int(q["bitrate"]) if "bitrate" in q else 320,
+                    mp3_preset=(int(q["mp3_preset"])
+                                if "mp3_preset" in q else 2),
                 )
             except ValueError as err:
                 return self._json(400, {"error": str(err)})

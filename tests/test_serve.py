@@ -203,3 +203,41 @@ def test_serve_main_prewarm_flags(local_repo, monkeypatch, capsys):
     assert calls["offsets"] == (120, 360)
     assert calls["service"].separator._shift_offsets == (120, 360)
     assert calls["served"] is True
+
+
+def test_service_output_formats(service, tmp_path):
+    """?format=flac|mp3 mirrors the CLI's --flac/--mp3: stems come back in
+    the requested codec (flac decodes bit-consistently with the wav path,
+    mp3 at codec-typical fidelity)."""
+    from demucs_tpu import mp3io
+    from demucs_tpu.audio import read_audio
+
+    sep = service.separator
+    sr = sep.samplerate
+    wav = random_mix((2, sr), seed=21, scale=0.05)
+    payload = _wav_bytes(wav, sr, tmp_path)
+
+    blob = service.separate_bytes(payload, clip="none", fmt="flac")
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = sorted(zf.namelist())
+        assert names == sorted(f"{s}.flac" for s in sep.model.sources)
+        out = tmp_path / "stem.flac"
+        out.write_bytes(zf.read(names[0]))
+        stem, got_sr = read_audio(out)
+        assert got_sr == sr and stem.shape == wav.shape
+
+    if mp3io.lame_available() and mp3io.mpg123_available():
+        blob = service.separate_bytes(payload, clip="none", fmt="mp3",
+                                      bitrate=192, mp3_preset=7)
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            names = sorted(zf.namelist())
+            assert names == sorted(f"{s}.mp3" for s in sep.model.sources)
+            out = tmp_path / "stem.mp3"
+            out.write_bytes(zf.read(names[0]))
+            stem, got_sr = read_audio(out)
+            assert got_sr == sr and stem.shape == wav.shape
+
+    with pytest.raises(ValueError, match="unknown format"):
+        service.separate_bytes(payload, fmt="ogg")
+    with pytest.raises(ValueError, match="mp3_preset"):
+        service.separate_bytes(payload, fmt="mp3", mp3_preset=9)
