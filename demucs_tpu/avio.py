@@ -23,7 +23,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "decode_file", "read_pcm", "encode_flac", "encode"]
+__all__ = ["available", "decode_file", "read_pcm", "probe", "encode_flac",
+           "encode", "encode_multi"]
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "avio.cpp"
 _LIB = _SRC.with_suffix(".so")
@@ -80,6 +81,11 @@ def _get_lib() -> tp.Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
         ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
         ctypes.c_char_p, ctypes.c_int]
+    lib.avio_encode_multi.restype = ctypes.c_int
+    lib.avio_encode_multi.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.c_longlong, ctypes.c_char_p, ctypes.c_int]
     lib.avio_free.restype = None
     lib.avio_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -202,3 +208,27 @@ def encode(path, wav: np.ndarray, samplerate: int, codec: str,
         frames, channels, int(samplerate), int(bitrate), err, len(err))
     if rc != 0:
         raise RuntimeError(f"avio_encode({path}, {codec}): {err.value.decode()}")
+
+
+def encode_multi(path, wavs: np.ndarray, samplerate: int, codec: str,
+                 bitrate: int = 0) -> None:
+    """Encode ``(S, C, T)`` float32 as S parallel audio streams in one
+    container (e.g. 5 alac streams in .mp4 — the reference's .stem.mp4
+    shape), each stream addressable via ``decode_file(path, stream=k)`` or
+    ``AudioFile.read(streams=...)``."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("avio (libavcodec shim) is unavailable")
+    wavs = np.asarray(wavs, dtype=np.float32)
+    assert wavs.ndim == 3, wavs.shape
+    nstreams, channels, frames = wavs.shape
+    inter = np.ascontiguousarray(wavs.transpose(0, 2, 1))
+    err = ctypes.create_string_buffer(256)
+    rc = lib.avio_encode_multi(
+        str(path).encode(), codec.encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nstreams, frames, channels, int(samplerate), int(bitrate),
+        err, len(err))
+    if rc != 0:
+        raise RuntimeError(
+            f"avio_encode_multi({path}, {codec}): {err.value.decode()}")

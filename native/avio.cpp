@@ -353,17 +353,20 @@ int avio_encode_flac(const char* path, const int32_t* pcm, long long frames,
     return rc;
 }
 
-// Encode normalized float32 interleaved PCM with an arbitrary named
-// libavcodec encoder (muxer guessed from the path extension) — used by the
-// tests to synthesize ogg/m4a/... inputs for read_audio's any-format
-// fallback. bitrate==0 leaves the encoder default.
-int avio_encode(const char* path, const char* codec_name, const float* pcm,
-                long long frames, int channels, int samplerate,
-                long long bitrate, char* err, int errlen) {
+// Multi-stream encode: write `nstreams` parallel audio streams (the
+// reference's .stem.mp4 shape) into one container with the named encoder.
+// `pcm` holds nstreams consecutive blocks of frames*channels interleaved
+// normalized float32 samples. The single-stream avio_encode delegates here.
+int avio_encode_multi(const char* path, const char* codec_name,
+                      const float* pcm, int nstreams, long long frames,
+                      int channels, int samplerate, long long bitrate,
+                      char* err, int errlen) {
+    if (nstreams < 1) { set_err(err, errlen, "nstreams must be >= 1"); return -1; }
     AVFormatContext* oc = nullptr;
-    AVCodecContext* ctx = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
+    std::vector<AVCodecContext*> ctxs(nstreams, nullptr);
+    std::vector<AVStream*> sts(nstreams, nullptr);
     int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
     if (ret < 0 || !oc) { set_err(err, errlen, "alloc output", ret); return -1; }
     int rc = -1;
@@ -371,38 +374,42 @@ int avio_encode(const char* path, const char* codec_name, const float* pcm,
     do {
         const AVCodec* enc = avcodec_find_encoder_by_name(codec_name);
         if (!enc) { set_err(err, errlen, "encoder not found"); break; }
-        AVStream* st = avformat_new_stream(oc, nullptr);
-        if (!st) { set_err(err, errlen, "new stream"); break; }
-        ctx = avcodec_alloc_context3(enc);
-        if (!ctx) { set_err(err, errlen, "alloc codec ctx"); break; }
-        ctx->sample_rate = samplerate;
-        av_channel_layout_default(&ctx->ch_layout, channels);
         // first supported format from a fidelity-ordered preference list
         static const AVSampleFormat prefs[] = {
             AV_SAMPLE_FMT_FLT, AV_SAMPLE_FMT_FLTP, AV_SAMPLE_FMT_S32,
             AV_SAMPLE_FMT_S32P, AV_SAMPLE_FMT_S16, AV_SAMPLE_FMT_S16P};
-        ctx->sample_fmt = AV_SAMPLE_FMT_NONE;
+        AVSampleFormat fmt = AV_SAMPLE_FMT_NONE;
         if (enc->sample_fmts) {
             for (AVSampleFormat p : prefs) {
                 for (const AVSampleFormat* f = enc->sample_fmts;
-                     *f != AV_SAMPLE_FMT_NONE && ctx->sample_fmt == AV_SAMPLE_FMT_NONE;
-                     f++)
-                    if (*f == p) ctx->sample_fmt = p;
-                if (ctx->sample_fmt != AV_SAMPLE_FMT_NONE) break;
+                     *f != AV_SAMPLE_FMT_NONE && fmt == AV_SAMPLE_FMT_NONE; f++)
+                    if (*f == p) fmt = p;
+                if (fmt != AV_SAMPLE_FMT_NONE) break;
             }
         }
-        if (ctx->sample_fmt == AV_SAMPLE_FMT_NONE)
-            ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
-        if (bitrate > 0) ctx->bit_rate = bitrate;
-        ctx->time_base = AVRational{1, samplerate};
-        ctx->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
-        if (oc->oformat->flags & AVFMT_GLOBALHEADER)
-            ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-        ret = avcodec_open2(ctx, enc, nullptr);
-        if (ret < 0) { set_err(err, errlen, "codec open", ret); break; }
-        ret = avcodec_parameters_from_context(st->codecpar, ctx);
-        if (ret < 0) { set_err(err, errlen, "params_from_context", ret); break; }
-        st->time_base = ctx->time_base;
+        if (fmt == AV_SAMPLE_FMT_NONE) fmt = AV_SAMPLE_FMT_FLTP;
+
+        bool ok = true;
+        for (int s = 0; s < nstreams && ok; s++) {
+            sts[s] = avformat_new_stream(oc, nullptr);
+            AVCodecContext* ctx = avcodec_alloc_context3(enc);
+            ctxs[s] = ctx;
+            if (!sts[s] || !ctx) { set_err(err, errlen, "alloc stream"); ok = false; break; }
+            ctx->sample_rate = samplerate;
+            av_channel_layout_default(&ctx->ch_layout, channels);
+            ctx->sample_fmt = fmt;
+            if (bitrate > 0) ctx->bit_rate = bitrate;
+            ctx->time_base = AVRational{1, samplerate};
+            ctx->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
+            if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+                ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+            ret = avcodec_open2(ctx, enc, nullptr);
+            if (ret < 0) { set_err(err, errlen, "codec open", ret); ok = false; break; }
+            ret = avcodec_parameters_from_context(sts[s]->codecpar, ctx);
+            if (ret < 0) { set_err(err, errlen, "params_from_context", ret); ok = false; break; }
+            sts[s]->time_base = ctx->time_base;
+        }
+        if (!ok) break;
         ret = avio_open(&oc->pb, path, AVIO_FLAG_WRITE);
         if (ret < 0) { set_err(err, errlen, "file open", ret); break; }
         opened_io = true;
@@ -411,44 +418,33 @@ int avio_encode(const char* path, const char* codec_name, const float* pcm,
 
         pkt = av_packet_alloc();
         frame = av_frame_alloc();
-        const int step = ctx->frame_size > 0 ? ctx->frame_size : 4096;
-        bool ok = true;
-        auto pump = [&]() {
+        const int step = ctxs[0]->frame_size > 0 ? ctxs[0]->frame_size : 4096;
+        auto pump = [&](int s) {
             while (true) {
-                int r = avcodec_receive_packet(ctx, pkt);
+                int r = avcodec_receive_packet(ctxs[s], pkt);
                 if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
                 if (r < 0) return false;
-                av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
-                pkt->stream_index = st->index;
+                av_packet_rescale_ts(pkt, ctxs[s]->time_base, sts[s]->time_base);
+                pkt->stream_index = sts[s]->index;
                 if (av_interleaved_write_frame(oc, pkt) < 0) return false;
             }
         };
-        long long pos = 0;
-        while (pos < frames && ok) {
-            const int n = (int)((frames - pos) < step ? (frames - pos) : step);
-            frame->nb_samples = n;
-            frame->format = ctx->sample_fmt;
-            av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
-            frame->sample_rate = samplerate;
-            if (av_frame_get_buffer(frame, 0) < 0) { ok = false; break; }
-            const float* src = pcm + pos * channels;
-            switch (ctx->sample_fmt) {
-            case AV_SAMPLE_FMT_FLT: {
-                float* dst = (float*)frame->extended_data[0];
-                memcpy(dst, src, sizeof(float) * n * channels);
-                break;
-            }
+        auto fill = [&](const float* src, int n) -> bool {
+            switch (fmt) {
+            case AV_SAMPLE_FMT_FLT:
+                memcpy(frame->extended_data[0], src, sizeof(float) * n * channels);
+                return true;
             case AV_SAMPLE_FMT_FLTP:
                 for (int c = 0; c < channels; c++) {
                     float* dst = (float*)frame->extended_data[c];
                     for (int i = 0; i < n; i++) dst[i] = src[i * channels + c];
                 }
-                break;
+                return true;
             case AV_SAMPLE_FMT_S16: {
                 int16_t* dst = (int16_t*)frame->extended_data[0];
                 for (long long i = 0; i < (long long)n * channels; i++)
                     dst[i] = (int16_t)lrintf(src[i] * 32767.0f);
-                break;
+                return true;
             }
             case AV_SAMPLE_FMT_S16P:
                 for (int c = 0; c < channels; c++) {
@@ -456,12 +452,12 @@ int avio_encode(const char* path, const char* codec_name, const float* pcm,
                     for (int i = 0; i < n; i++)
                         dst[i] = (int16_t)lrintf(src[i * channels + c] * 32767.0f);
                 }
-                break;
+                return true;
             case AV_SAMPLE_FMT_S32: {
                 int32_t* dst = (int32_t*)frame->extended_data[0];
                 for (long long i = 0; i < (long long)n * channels; i++)
                     dst[i] = (int32_t)lrintf(src[i] * 2147483520.0f);
-                break;
+                return true;
             }
             case AV_SAMPLE_FMT_S32P:
                 for (int c = 0; c < channels; c++) {
@@ -469,17 +465,33 @@ int avio_encode(const char* path, const char* codec_name, const float* pcm,
                     for (int i = 0; i < n; i++)
                         dst[i] = (int32_t)lrintf(src[i * channels + c] * 2147483520.0f);
                 }
-                break;
+                return true;
             default:
-                ok = false;
+                return false;
             }
-            if (!ok) break;
-            frame->pts = pos;
-            ok = avcodec_send_frame(ctx, frame) >= 0 && pump();
-            av_frame_unref(frame);
+        };
+        long long pos = 0;
+        while (pos < frames && ok) {
+            const int n = (int)((frames - pos) < step ? (frames - pos) : step);
+            for (int s = 0; s < nstreams && ok; s++) {
+                frame->nb_samples = n;
+                frame->format = fmt;
+                av_channel_layout_copy(&frame->ch_layout, &ctxs[s]->ch_layout);
+                frame->sample_rate = samplerate;
+                if (av_frame_get_buffer(frame, 0) < 0) { ok = false; break; }
+                const float* src = pcm
+                    + (long long)s * frames * channels + pos * channels;
+                ok = fill(src, n);
+                if (ok) {
+                    frame->pts = pos;
+                    ok = avcodec_send_frame(ctxs[s], frame) >= 0 && pump(s);
+                }
+                av_frame_unref(frame);
+            }
             pos += n;
         }
-        if (ok) ok = avcodec_send_frame(ctx, nullptr) >= 0 && pump();
+        for (int s = 0; s < nstreams && ok; s++)
+            ok = avcodec_send_frame(ctxs[s], nullptr) >= 0 && pump(s);
         if (!ok) { set_err(err, errlen, "encode failed"); break; }
         ret = av_write_trailer(oc);
         if (ret < 0) { set_err(err, errlen, "write_trailer", ret); break; }
@@ -487,10 +499,22 @@ int avio_encode(const char* path, const char* codec_name, const float* pcm,
     } while (false);
     if (frame) av_frame_free(&frame);
     if (pkt) av_packet_free(&pkt);
-    if (ctx) avcodec_free_context(&ctx);
+    for (AVCodecContext* ctx : ctxs)
+        if (ctx) avcodec_free_context(&ctx);
     if (opened_io) avio_closep(&oc->pb);
     avformat_free_context(oc);
     return rc;
+}
+
+// Encode normalized float32 interleaved PCM with an arbitrary named
+// libavcodec encoder (muxer guessed from the path extension) — used by the
+// tests to synthesize ogg/m4a/... inputs for read_audio's any-format
+// fallback. bitrate==0 leaves the encoder default.
+int avio_encode(const char* path, const char* codec_name, const float* pcm,
+                long long frames, int channels, int samplerate,
+                long long bitrate, char* err, int errlen) {
+    return avio_encode_multi(path, codec_name, pcm, 1, frames, channels,
+                             samplerate, bitrate, err, errlen);
 }
 
 }  // extern "C"

@@ -244,3 +244,40 @@ class TestAudioFileShimMode:
         wav, sr, _ogg, wv = files
         got = dta.AudioFile(wv).read(streams=slice(None))
         assert got.shape == (1, 2, wav.shape[1])
+
+
+def test_audiofile_multistream_stems(tmp_path):
+    """AudioFile against a REAL multi-stream container — the reference's
+    .stem.mp4 shape (one alac stream per stem in an mp4): per-stream probe
+    metadata, single-stream selection pulls the right content, and the
+    slice read stacks (S, C, T) like the ffmpeg path
+    (demucs/audio.py:88-140)."""
+    if dta.ffmpeg_available():
+        pytest.skip("AudioFile prefers the ffmpeg backend when installed")
+    sr = 44100
+    t = np.arange(sr) / sr
+    stems = np.stack([
+        np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                  0.5 * np.sin(2 * np.pi * 330 * t)]),
+        np.stack([0.3 * np.sin(2 * np.pi * 220 * t),
+                  0.3 * np.sin(2 * np.pi * 110 * t)]),
+        np.stack([0.1 * np.sin(2 * np.pi * 880 * t),
+                  0.1 * np.sin(2 * np.pi * 660 * t)]),
+    ]).astype(np.float32)
+    path = tmp_path / "track.stem.mp4"
+    avio.encode_multi(path, stems, sr, "alac")
+
+    af = dta.AudioFile(path)
+    assert len(af) == 3
+    assert af.channels(1) == 2 and af.samplerate(2) == sr
+    assert abs(af.duration - 1.0) < 0.05
+    # single-stream read returns (C, T) of THAT stream (alac is lossless:
+    # int16-quantization floor only)
+    one = af.read(streams=1)
+    assert one.shape == (2, sr)
+    assert np.abs(one - stems[1]).max() < 1e-4
+    # slice read stacks all streams
+    alls = af.read(streams=slice(None))
+    assert alls.shape == (3, 2, sr)
+    for k in range(3):
+        assert np.abs(alls[k] - stems[k]).max() < 1e-4, k
