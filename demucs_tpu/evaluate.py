@@ -7,8 +7,11 @@ used opportunistically (the package is optional). Tracks are round-robin
 sharded across processes (evaluate.py:94) via ``distrib.shard_indices``.
 
 The test set is read as a MusdbHQ-style folder of track dirs with
-``mixture.wav`` + stem wavs (no dependency on the ``musdb`` package; if it is
-installed, non-HQ .mp4 sets also work through it).
+``mixture.wav`` + stem wavs. ``test.nonhq`` (the reference's
+evaluate.py:81-85 path, which needs musdb+stempeg+ffmpeg) instead reads the
+compressed MUSDB's ``.stem.mp4`` files directly through the multi-stream
+``AudioFile`` — stream 0 is the mixture, streams 1-4 the SigSep stem order —
+with no external package or binary.
 """
 
 from __future__ import annotations
@@ -81,6 +84,37 @@ def _iter_test_tracks(musdb_path: Path):
         yield track_dir.name, track_dir
 
 
+# SigSep stems layout inside a .stem.mp4: stream 0 = mixture, then the
+# canonical MUSDB source order.
+MUSDB_STEM_STREAMS = {"drums": 1, "bass": 2, "other": 3, "vocals": 4}
+
+
+def _iter_test_tracks_nonhq(nonhq_path: Path):
+    test_dir = Path(nonhq_path) / "test"
+    if not test_dir.is_dir():
+        raise FileNotFoundError(f"No test subset at {test_dir}")
+    for p in sorted(test_dir.glob("*.stem.mp4")):
+        yield p.name[: -len(".stem.mp4")], p
+
+
+def _read_track_audio(track: Path, source: tp.Optional[str]):
+    """(mixture when ``source`` is None, else that stem) -> (wav, sr).
+    ``track`` is a MusdbHQ track dir or a non-HQ ``.stem.mp4`` file."""
+    if track.is_dir():
+        return dta.read_wav(track / f"{source or 'mixture'}.wav")
+    if source is None:
+        stream = 0
+    else:
+        try:
+            stream = MUSDB_STEM_STREAMS[source]
+        except KeyError:
+            raise ValueError(
+                f"source {source!r} has no stream in a MUSDB .stem.mp4 "
+                f"(available: {sorted(MUSDB_STEM_STREAMS)})") from None
+    af = dta.AudioFile(track)
+    return af.read(streams=stream), af.samplerate(stream)
+
+
 def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
     """Distributed test-set eval (evaluate.py:67-174): apply_model per track,
     nsdr (+BSS-eval), cross-process gather, per-source mean/median-of-medians
@@ -94,7 +128,11 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
     win = int(1.0 * model.samplerate)
     hop = int(1.0 * model.samplerate)
 
-    track_list = list(_iter_test_tracks(args.dset.musdb))
+    nonhq = getattr(args.test, "nonhq", None)
+    if nonhq:
+        track_list = list(_iter_test_tracks_nonhq(Path(nonhq)))
+    else:
+        track_list = list(_iter_test_tracks(args.dset.musdb))
     indexes = distrib.shard_indices(len(track_list))
 
     pool_cls = futures.ProcessPoolExecutor if args.test.workers else None
@@ -110,7 +148,7 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
     def _mixes():
         for index in indexes:
             name, track_dir = track_list[index]
-            mix, sr = dta.read_wav(track_dir / "mixture.wav")
+            mix, sr = _read_track_audio(track_dir, None)
             ref = mix.mean(axis=0)
             mean, std = ref.mean(), ref.std()
             mix = (mix - mean) / std
@@ -131,7 +169,7 @@ def evaluate(solver, compute_sdr: bool = False) -> tp.Dict[str, float]:
 
         refs = []
         for source in model.sources:
-            wav, ssr = dta.read_wav(track_dir / f"{source}.wav")
+            wav, ssr = _read_track_audio(track_dir, source)
             refs.append(dta.convert_audio(wav, ssr, model.samplerate, model.audio_channels))
         references = np.stack(refs)
         if args.test.save:

@@ -42,6 +42,9 @@ class DsetConfig:
 class TestConfig:
     save: bool = False
     best: bool = True
+    # Path to the non-HQ (compressed .stem.mp4) MUSDB for evaluation
+    # (conf/config.yaml:38); read natively via the multi-stream AudioFile.
+    nonhq: tp.Optional[str] = None
     workers: int = 2
     every: int = 20
     split: bool = True

@@ -267,3 +267,57 @@ def test_async_checkpoint_same_trajectory(dataset_root, tmp_path):
     assert len(solver3.history) == args.epochs
     solver3.train()  # no-op replay
     assert [m["train"]["loss"] for m in solver3.history] == async_losses
+
+
+def test_evaluate_nonhq_stems(tmp_path):
+    """The reference's `test.nonhq` path (evaluate.py:81-85 — compressed
+    MUSDB via musdb+stempeg+ffmpeg) evaluated natively: .stem.mp4 files read
+    through the multi-stream AudioFile (stream 0 = mixture, 1-4 = SigSep
+    stem order), no external package or binary."""
+    from demucs_tpu import avio
+    from demucs_tpu.evaluate import evaluate
+    from demucs_tpu.models import demucs as m_d
+    from demucs_tpu.models.registry import Model
+    from demucs_tpu.train.config import TrainArgs, apply_overrides
+
+    if not avio.available():
+        pytest.skip("libavcodec shim unavailable")
+    if dta.ffmpeg_available():
+        pytest.skip("AudioFile prefers the ffmpeg backend when installed")
+
+    rng = np.random.default_rng(3)
+    nonhq = tmp_path / "musdb18"
+    (nonhq / "test").mkdir(parents=True)
+    T = 3 * SR
+    originals = {}
+    for name in ("StemTrackA", "StemTrackB"):
+        stems = (rng.standard_normal((4, 2, T)) * 0.05).astype(np.float32)
+        streams = np.concatenate([stems.sum(0, keepdims=True), stems])
+        avio.encode_multi(nonhq / "test" / f"{name}.stem.mp4",
+                          streams, SR, "alac")
+        originals[name] = stems
+
+    cfg = m_d.DemucsConfig(sources=SOURCES, channels=4, depth=2,
+                           resample=False, dconv_mode=0, samplerate=SR,
+                           segment=2.0)
+    model = Model("demucs", cfg, m_d.init_demucs(cfg))
+
+    targs = apply_overrides(TrainArgs(), {
+        "dset.musdb": str(tmp_path / "unused_hq"),
+        "test.nonhq": str(nonhq),
+        "test.shifts": 0,
+        "test.workers": 0,
+        "misc.num_workers": 0,
+    })
+
+    class _Shim:
+        pass
+
+    solver = _Shim()
+    solver.args = targs
+    solver.model = model
+    solver.folder = tmp_path / "evalout"
+    result = evaluate(solver, compute_sdr=False)
+    for source in SOURCES:
+        assert f"nsdr_{source}" in result
+    assert np.isfinite(result["nsdr"])
