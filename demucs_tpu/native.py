@@ -24,14 +24,22 @@ _tried = False
 
 
 def _build() -> bool:
+    # Build to a temp path and rename: writing the .so in place truncates
+    # an inode other processes may have mmap'd (instant SIGSEGV for them);
+    # rename leaves their mapping on the old inode.
+    import os
+
+    tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
+             str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True,
         )
+        tmp.replace(_LIB)
         return True
     except (OSError, subprocess.CalledProcessError):
+        tmp.unlink(missing_ok=True)
         return False
 
 
