@@ -23,9 +23,12 @@ sdr:
 
 # Build to temp + rename: rewriting a .so in place corrupts the mapping of
 # any process that already loaded it (the python loaders do the same).
+# The avio shim needs the ffmpeg dev libraries; skip with a note when absent
+# (the python loader degrades the same way).
 native:
 	g++ -O3 -shared -fPIC -pthread -std=c++17 native/wavio.cpp -o native/wavio.so.tmp && mv native/wavio.so.tmp native/wavio.so
-	g++ -O3 -shared -fPIC -std=c++17 native/avio.cpp -lavformat -lavcodec -lavutil -o native/avio.so.tmp && mv native/avio.so.tmp native/avio.so
+	g++ -O3 -shared -fPIC -std=c++17 native/avio.cpp -lavformat -lavcodec -lavutil -o native/avio.so.tmp && mv native/avio.so.tmp native/avio.so \
+		|| { rm -f native/avio.so.tmp; echo "avio shim skipped (ffmpeg dev libraries unavailable)"; }
 
 # Fails on findings (no `|| true`): the built-in AST pass always runs;
 # flake8/mypy run additionally wherever they are installed (setup.cfg /

@@ -85,7 +85,14 @@ class AudioFile:
     @property
     def duration(self) -> float:
         if not self._use_ffmpeg:
-            return self._avio_probe()[1]
+            streams, dur = self._avio_probe()
+            if dur > 0:
+                return dur
+            # container didn't state a duration: derive from the longest
+            # stream's frame count instead of leaking the -1 sentinel
+            return max((s["frames"] / s["samplerate"] for s in streams
+                        if s["samplerate"] > 0 and s["frames"] > 0),
+                       default=-1.0)
         return float(self.info["format"]["duration"])
 
     @property
@@ -114,7 +121,11 @@ class AudioFile:
     def read(self, seek_time=None, duration=None, streams=slice(None),
              samplerate=None, channels=None) -> np.ndarray:
         """Extract stream(s) as float32 ``(S, C, T)`` (or ``(C, T)`` for an int
-        stream index); optional on-the-fly seek/resample (audio.py:71-140)."""
+        stream index); optional on-the-fly seek/resample (audio.py:71-140).
+
+        Shim mode decodes each selected stream in full and trims (sample-
+        exact seek, O(track length) per call even for small windows); the
+        ffmpeg backend seeks to the nearest syncpoint before decoding."""
         streams_arr = np.array(range(len(self)))[streams]
         single = not isinstance(streams_arr, np.ndarray)
         if single:

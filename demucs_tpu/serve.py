@@ -95,9 +95,19 @@ class SeparationService:
             if not 2 <= mp3_preset <= 7:
                 raise ValueError(f"mp3_preset must be 2..7, got {mp3_preset}")
         with tempfile.TemporaryDirectory() as td:
-            # The native decoder keys on the .wav suffix; anything else rides
-            # the ffmpeg path (which sniffs the container itself).
-            suffix = ".wav" if payload[:4] == b"RIFF" else ".audio"
+            # read_audio's first-party codecs key on the suffix, so sniff the
+            # container magic: RIFF (wav), fLaC, ID3/frame-sync (mp3). Other
+            # payloads ride the ffmpeg/libavcodec paths, which sniff content.
+            if payload[:4] == b"RIFF":
+                suffix = ".wav"
+            elif payload[:4] == b"fLaC":
+                suffix = ".flac"
+            elif payload[:3] == b"ID3" or (
+                    len(payload) > 1 and payload[0] == 0xFF
+                    and (payload[1] & 0xE0) == 0xE0):
+                suffix = ".mp3"
+            else:
+                suffix = ".audio"
             src = Path(td) / f"input{suffix}"
             src.write_bytes(payload)
             wav, _sr = read_audio(src, samplerate=sep.samplerate,

@@ -101,6 +101,13 @@ bool append_frame(const AVFrame* f, int channels, bool as_float,
         for (int i = 0; i < n * channels; i++) dst[i] = (int32_t)src[i] - 128;
         return !as_float;
     }
+    case AV_SAMPLE_FMT_U8P:
+        for (int c = 0; c < channels; c++) {
+            const uint8_t* src = (const uint8_t*)f->extended_data[c];
+            for (int i = 0; i < n; i++)
+                dst[i * channels + c] = (int32_t)src[i] - 128;
+        }
+        return !as_float;
     default:
         return false;
     }

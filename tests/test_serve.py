@@ -241,3 +241,28 @@ def test_service_output_formats(service, tmp_path):
         service.separate_bytes(payload, fmt="ogg")
     with pytest.raises(ValueError, match="mp3_preset"):
         service.separate_bytes(payload, fmt="mp3", mp3_preset=9)
+
+
+def test_service_compressed_input_bodies(service, tmp_path):
+    """POST bodies in flac and mp3 are sniffed by magic and decoded by the
+    first-party codecs (no ffmpeg binary, no avio shim required)."""
+    from demucs_tpu import mp3io
+    from demucs_tpu.audio import save_audio
+
+    sep = service.separator
+    sr = sep.samplerate
+    wav = random_mix((2, sr), seed=23, scale=0.05)
+
+    flac_path = tmp_path / "in.flac"
+    save_audio(wav, flac_path, sr, clip="none")
+    blob = service.separate_bytes(flac_path.read_bytes(), clip="none")
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert sorted(zf.namelist()) == sorted(
+            f"{s}.wav" for s in sep.model.sources)
+
+    if mp3io.lame_available() and mp3io.mpg123_available():
+        mp3_bytes = mp3io.encode_mp3(wav, sr, 192)
+        blob = service.separate_bytes(mp3_bytes, clip="none")
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            assert sorted(zf.namelist()) == sorted(
+                f"{s}.wav" for s in sep.model.sources)
